@@ -1,0 +1,114 @@
+"""End-to-end assembly pipelines.
+
+Mirrors the reference driver's phase structure (main, binning.c:1147-1181):
+ingest -> count -> prune -> [expand] -> extend(fwd) -> extend(bwd) -> print,
+with the counting phases on device and (in parity mode) the order-faithful
+extension replay on the host-native engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from genome_assembly_tpu.config import PipelineConfig
+from genome_assembly_tpu.io import reads as reads_io
+from genome_assembly_tpu.ops import count as count_ops
+from genome_assembly_tpu.ops import minimizer
+from genome_assembly_tpu.parity import table as table_ops
+
+
+@dataclasses.dataclass
+class PhaseStats:
+    """Per-phase observability counters (metrics JSONL feeds off this)."""
+
+    n_reads: int = 0
+    n_windows: int = 0
+    entries_pre_prune: int = 0
+    entries_post_prune: int = 0
+    entries_post_extension: int = 0
+    wall_s: Dict[str, float] = dataclasses.field(default_factory=dict)
+
+
+class CountPipeline:
+    """Device-side ingest + count + prune shared by both modes.
+
+    In parity mode the scan replicates process_read exactly; pruned-table
+    parity is order-independent (the table is a multiset keyed by
+    (signature, kmer) -- SURVEY.md 2.1.4's duplicate semantics are preserved
+    because the key includes the signature bin).
+    """
+
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+
+    def scan(self, codes: jnp.ndarray, lengths: jnp.ndarray) -> minimizer.WindowRecords:
+        cfg = self.config
+        if cfg.parity:
+            return minimizer.parity_scan(codes, lengths, k=cfg.k, m=cfg.m)
+        return minimizer.fast_scan(codes, lengths, k=cfg.k, m=cfg.m)
+
+    def count_reads(
+        self, reads: Sequence[str], start_id: int = 0
+    ) -> Tuple[count_ops.CountedTable, PhaseStats]:
+        """Count a full read set (batching + merge handled here)."""
+        cfg = self.config
+        stats = PhaseStats(n_reads=len(reads))
+        batches = reads_io.batch_reads(
+            reads, cfg.max_read_len, cfg.batch_reads, start_id=start_id
+        )
+        if not batches:
+            raise ValueError("no reads")
+        # Pad the final batch so every batch shares one compiled shape.
+        if len(batches) > 1:
+            batches[-1] = reads_io.pad_batch(batches[-1], cfg.batch_reads)
+        per_batch = []
+        final_cutoff = cfg.abundance_cutoff
+        # single batch: prune directly; multi-batch: count with cutoff -1,
+        # merge, then prune (a k-mer's occurrences may span batches).
+        cutoff = final_cutoff if len(batches) == 1 else -1
+        for b in batches:
+            recs = self.scan(jnp.asarray(b.codes), jnp.asarray(b.lengths))
+            per_batch.append(
+                count_ops.count_and_prune(
+                    recs, jnp.asarray(b.read_ids), cutoff=cutoff
+                )
+            )
+            stats.n_windows += int(np.sum(np.asarray(recs.valid)))
+        if len(per_batch) == 1:
+            counted = per_batch[0]
+        else:
+            counted = count_ops.merge_sorted_tables(per_batch, cutoff=final_cutoff)
+        stats.entries_pre_prune = int(counted.n_entries)
+        stats.entries_post_prune = int(counted.n_kept)
+        return counted, stats
+
+
+class ParityAssembler:
+    """Bit-parity pipeline: device counting + host-native extension replay."""
+
+    def __init__(self, config: Optional[PipelineConfig] = None):
+        self.config = config or PipelineConfig()
+        if not self.config.parity:
+            raise ValueError("ParityAssembler requires a parity config")
+        self.counter = CountPipeline(self.config)
+
+    def load(self, path: str) -> List[str]:
+        reads = reads_io.load_reads_parity(path, self.config.read_length)
+        reads_io.validate_acgt(reads)
+        return reads
+
+    def pruned_table(
+        self, reads: Sequence[str]
+    ) -> Tuple[table_ops.HostTable, PhaseStats]:
+        counted, stats = self.counter.count_reads(reads)
+        host = table_ops.extract_groups(counted, pruned=True)
+        return host, stats
+
+    def pruned_table_dict(self, reads: Sequence[str]) -> Dict:
+        host, _ = self.pruned_table(reads)
+        return table_ops.decode_table(host, self.config.k, self.config.m)

@@ -1,0 +1,151 @@
+"""Sort-based k-mer counting and abundance pruning.
+
+The reference's two-level chained hash (mmer -> kmer -> read-id list,
+binning.c:1042-1069 + zhash.c) is a pointer-chasing CPU idiom.  On TPU the
+same table is: flatten all window records, lexicographically sort by
+(mmer, kmer_hi, kmer_lo) with a stable sort, and reduce runs of equal keys
+with segmented sums.  Pruning (prune_kmers, binning.c:1085-1123) is a mask:
+keep a group iff its occurrence count > cutoff.
+
+Counts are occurrences, not distinct reads, matching the reference
+(binning.c:1060-1069, SURVEY.md 2.1.5).  Read-id lists per entry are the
+group's payload slice; the reference maintains them in descending order, and
+a stable sort keeps stream order (ascending read id) inside each group, so
+the host reverses per group when materializing parity output.
+
+Everything is static-shape: invalid records are given a sentinel mmer that
+sorts past every real key and are masked out of all reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from genome_assembly_tpu.ops.minimizer import WindowRecords
+
+# Sentinel mmer for padding/invalid records: real mmers are < 2^30.
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+class CountedTable(NamedTuple):
+    """Sorted, counted, pruned k-mer table (still padded to N records).
+
+    All arrays have length N = total window slots.  Records are sorted by
+    (mmer, kmer_hi, kmer_lo); invalid slots hold SENTINEL mmers at the end.
+
+    group_start: True at the first record of each distinct (mmer, kmer).
+    count: occurrence count of the record's group (broadcast to every member).
+    keep: group_start & count > cutoff & valid -- one True per surviving
+      table entry (the post-prune table rows).
+    read_id: per-occurrence read ids, stream-ordered within each group.
+    """
+
+    mmer: jnp.ndarray
+    kmer_hi: jnp.ndarray
+    kmer_lo: jnp.ndarray
+    read_id: jnp.ndarray
+    valid: jnp.ndarray
+    group_start: jnp.ndarray
+    count: jnp.ndarray
+    keep: jnp.ndarray
+
+    @property
+    def n_entries(self) -> jnp.ndarray:
+        """Distinct (mmer, kmer) entries before pruning."""
+        return jnp.sum(self.group_start & self.valid)
+
+    @property
+    def n_kept(self) -> jnp.ndarray:
+        """Entries surviving the abundance cutoff."""
+        return jnp.sum(self.keep)
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff",))
+def count_and_prune(records: WindowRecords, read_ids: jnp.ndarray, *, cutoff: int) -> CountedTable:
+    """Count occurrences of each (mmer, kmer) and apply the abundance mask.
+
+    records: WindowRecords with [batch, n_windows] arrays.
+    read_ids: [batch] uint32 read ids (broadcast across windows).
+    """
+    batch, n_win = records.mmer.shape
+    n = batch * n_win
+
+    mmer = jnp.where(records.valid, records.mmer, SENTINEL).reshape(n)
+    khi = records.kmer_hi.reshape(n)
+    klo = records.kmer_lo.reshape(n)
+    rid = jnp.broadcast_to(read_ids[:, None], (batch, n_win)).reshape(n)
+    valid_flat = records.valid.reshape(n)
+
+    # Stable lexicographic sort by (mmer, hi, lo); payload rides along, so
+    # equal keys keep stream order == ascending (read_id, window).
+    mmer_s, khi_s, klo_s, rid_s, valid_s = lax.sort(
+        (mmer, khi, klo, rid, valid_flat), num_keys=3, is_stable=True
+    )
+
+    prev_same = jnp.concatenate(
+        [
+            jnp.zeros((1,), dtype=bool),
+            (mmer_s[1:] == mmer_s[:-1])
+            & (khi_s[1:] == khi_s[:-1])
+            & (klo_s[1:] == klo_s[:-1]),
+        ]
+    )
+    group_start = ~prev_same
+    group_id = jnp.cumsum(group_start.astype(jnp.int32)) - 1
+
+    ones = valid_s.astype(jnp.int32)
+    group_sizes = jax.ops.segment_sum(ones, group_id, num_segments=n)
+    count = group_sizes[group_id]
+
+    keep = group_start & valid_s & (count > cutoff)
+    return CountedTable(
+        mmer=mmer_s,
+        kmer_hi=khi_s,
+        kmer_lo=klo_s,
+        read_id=rid_s,
+        valid=valid_s,
+        group_start=group_start,
+        count=count,
+        keep=keep,
+    )
+
+
+def merge_sorted_tables(tables: list[CountedTable], *, cutoff: int) -> CountedTable:
+    """Merge per-batch counted tables into one (host-free, device concat+resort).
+
+    Used when a read set spans several device batches: groups split across
+    batches are re-merged by a second sort over the concatenated records.
+    Pruning must be applied only after the merge, so per-batch tables should
+    be built with cutoff=-1 (keep everything) before merging.
+    """
+    mmer = jnp.concatenate([t.mmer for t in tables])
+    khi = jnp.concatenate([t.kmer_hi for t in tables])
+    klo = jnp.concatenate([t.kmer_lo for t in tables])
+    rid = jnp.concatenate([t.read_id for t in tables])
+    valid = jnp.concatenate([t.valid for t in tables])
+    n = mmer.shape[0]
+    mmer = jnp.where(valid, mmer, SENTINEL)
+    mmer_s, khi_s, klo_s, rid_s, valid_s = lax.sort(
+        (mmer, khi, klo, rid, valid), num_keys=3, is_stable=True
+    )
+    prev_same = jnp.concatenate(
+        [
+            jnp.zeros((1,), dtype=bool),
+            (mmer_s[1:] == mmer_s[:-1])
+            & (khi_s[1:] == khi_s[:-1])
+            & (klo_s[1:] == klo_s[:-1]),
+        ]
+    )
+    group_start = ~prev_same
+    group_id = jnp.cumsum(group_start.astype(jnp.int32)) - 1
+    group_sizes = jax.ops.segment_sum(
+        valid_s.astype(jnp.int32), group_id, num_segments=n
+    )
+    count = group_sizes[group_id]
+    keep = group_start & valid_s & (count > cutoff)
+    return CountedTable(mmer_s, khi_s, klo_s, rid_s, valid_s, group_start, count, keep)
