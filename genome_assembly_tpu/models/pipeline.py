@@ -71,11 +71,15 @@ class CountPipeline:
         # single batch: prune directly; multi-batch: count with cutoff -1,
         # merge, then prune (a k-mer's occurrences may span batches).
         cutoff = final_cutoff if len(batches) == 1 else -1
-        for b in batches:
+        n_win = cfg.max_read_len - cfg.k + 1
+        for bi, b in enumerate(batches):
             recs = self.scan(jnp.asarray(b.codes), jnp.asarray(b.lengths))
             per_batch.append(
                 count_ops.count_and_prune(
-                    recs, jnp.asarray(b.read_ids), cutoff=cutoff
+                    recs,
+                    jnp.asarray(b.read_ids),
+                    cutoff=cutoff,
+                    stream_offset=bi * cfg.batch_reads * n_win,
                 )
             )
             stats.n_windows += int(np.sum(np.asarray(recs.valid)))
@@ -112,3 +116,41 @@ class ParityAssembler:
     def pruned_table_dict(self, reads: Sequence[str]) -> Dict:
         host, _ = self.pruned_table(reads)
         return table_ops.decode_table(host, self.config.k, self.config.m)
+
+    def assemble(
+        self, reads: Sequence[str], engine: str = "auto", verbose: bool = False
+    ):
+        """Full parity pipeline -> unitig lines in the reference's exact
+        print order (print_kmers, binning.c:827-843).
+
+        engine: 'python' (executable spec), 'native' (C++ engine), or
+        'auto' (native if built, else python).
+        verbose: return the print_kmer_read_ids text instead of unitig lines.
+        """
+        from genome_assembly_tpu.parity import replay as replay_mod
+
+        cfg = self.config
+        counted, stats = self.counter.count_reads(reads)
+        host_all = table_ops.extract_groups(counted, pruned=False)
+        if engine == "auto":
+            try:
+                from genome_assembly_tpu.native import replay_native
+
+                engine = "native" if replay_native.available() else "python"
+            except ImportError:
+                engine = "python"
+        if engine == "native":
+            from genome_assembly_tpu.native import replay_native
+
+            return replay_native.assemble(
+                host_all, cfg.k, cfg.m, cfg.abundance_cutoff, verbose=verbose
+            ), stats
+        groups = replay_mod.groups_from_host_table(host_all, cfg.k, cfg.m)
+        rep = replay_mod.ReferenceReplay(cfg.k, cfg.m, cfg.abundance_cutoff)
+        rep.build(groups)
+        rep.prune()
+        rep.expand()
+        rep.extend_all(True)
+        rep.extend_all(False)
+        out = rep.print_kmer_read_ids() if verbose else rep.print_kmers()
+        return out, stats

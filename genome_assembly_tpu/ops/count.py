@@ -43,12 +43,18 @@ class CountedTable(NamedTuple):
     keep: group_start & count > cutoff & valid -- one True per surviving
       table entry (the post-prune table rows).
     read_id: per-occurrence read ids, stream-ordered within each group.
+    stream_idx: flat (read, window) stream position of each occurrence; the
+      value at a group's first record is the entry's insertion time, which
+      the parity replay engine uses to rebuild the reference's exact hash
+      table layout (insertion order determines bucket chains and grow
+      points, SURVEY.md 2.1.10/12).
     """
 
     mmer: jnp.ndarray
     kmer_hi: jnp.ndarray
     kmer_lo: jnp.ndarray
     read_id: jnp.ndarray
+    stream_idx: jnp.ndarray
     valid: jnp.ndarray
     group_start: jnp.ndarray
     count: jnp.ndarray
@@ -66,11 +72,19 @@ class CountedTable(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cutoff",))
-def count_and_prune(records: WindowRecords, read_ids: jnp.ndarray, *, cutoff: int) -> CountedTable:
+def count_and_prune(
+    records: WindowRecords,
+    read_ids: jnp.ndarray,
+    *,
+    cutoff: int,
+    stream_offset=0,
+) -> CountedTable:
     """Count occurrences of each (mmer, kmer) and apply the abundance mask.
 
     records: WindowRecords with [batch, n_windows] arrays.
     read_ids: [batch] uint32 read ids (broadcast across windows).
+    stream_offset: global stream index of this batch's first window slot
+      (batch_index * batch_rows * n_windows when batching uniformly).
     """
     batch, n_win = records.mmer.shape
     n = batch * n_win
@@ -80,11 +94,12 @@ def count_and_prune(records: WindowRecords, read_ids: jnp.ndarray, *, cutoff: in
     klo = records.kmer_lo.reshape(n)
     rid = jnp.broadcast_to(read_ids[:, None], (batch, n_win)).reshape(n)
     valid_flat = records.valid.reshape(n)
+    stream = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(stream_offset)
 
     # Stable lexicographic sort by (mmer, hi, lo); payload rides along, so
     # equal keys keep stream order == ascending (read_id, window).
-    mmer_s, khi_s, klo_s, rid_s, valid_s = lax.sort(
-        (mmer, khi, klo, rid, valid_flat), num_keys=3, is_stable=True
+    mmer_s, khi_s, klo_s, rid_s, stream_s, valid_s = lax.sort(
+        (mmer, khi, klo, rid, stream, valid_flat), num_keys=3, is_stable=True
     )
 
     prev_same = jnp.concatenate(
@@ -108,6 +123,7 @@ def count_and_prune(records: WindowRecords, read_ids: jnp.ndarray, *, cutoff: in
         kmer_hi=khi_s,
         kmer_lo=klo_s,
         read_id=rid_s,
+        stream_idx=stream_s,
         valid=valid_s,
         group_start=group_start,
         count=count,
@@ -127,11 +143,14 @@ def merge_sorted_tables(tables: list[CountedTable], *, cutoff: int) -> CountedTa
     khi = jnp.concatenate([t.kmer_hi for t in tables])
     klo = jnp.concatenate([t.kmer_lo for t in tables])
     rid = jnp.concatenate([t.read_id for t in tables])
+    stream = jnp.concatenate([t.stream_idx for t in tables])
     valid = jnp.concatenate([t.valid for t in tables])
     n = mmer.shape[0]
     mmer = jnp.where(valid, mmer, SENTINEL)
-    mmer_s, khi_s, klo_s, rid_s, valid_s = lax.sort(
-        (mmer, khi, klo, rid, valid), num_keys=3, is_stable=True
+    # Sort with the global stream index as a key so per-group payload order
+    # is stream order even though the inputs were per-batch sorted.
+    mmer_s, khi_s, klo_s, stream_s, rid_s, valid_s = lax.sort(
+        (mmer, khi, klo, stream, rid, valid), num_keys=4, is_stable=True
     )
     prev_same = jnp.concatenate(
         [
@@ -148,4 +167,6 @@ def merge_sorted_tables(tables: list[CountedTable], *, cutoff: int) -> CountedTa
     )
     count = group_sizes[group_id]
     keep = group_start & valid_s & (count > cutoff)
-    return CountedTable(mmer_s, khi_s, klo_s, rid_s, valid_s, group_start, count, keep)
+    return CountedTable(
+        mmer_s, khi_s, klo_s, rid_s, stream_s, valid_s, group_start, count, keep
+    )

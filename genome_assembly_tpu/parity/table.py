@@ -29,6 +29,7 @@ class HostTable(NamedTuple):
     kmer_hi: np.ndarray  # [G] uint32
     kmer_lo: np.ndarray  # [G] uint32
     count: np.ndarray  # [G] int32
+    first_seen: np.ndarray  # [G] uint32 stream index of first occurrence
     read_ids: List[np.ndarray]  # per group, stream order
 
 
@@ -38,6 +39,7 @@ def extract_groups(table: CountedTable, *, pruned: bool = True) -> HostTable:
     khi = np.asarray(table.kmer_hi)
     klo = np.asarray(table.kmer_lo)
     rid = np.asarray(table.read_id)
+    stream = np.asarray(table.stream_idx)
     valid = np.asarray(table.valid)
     group_start = np.asarray(table.group_start)
     count = np.asarray(table.count)
@@ -53,6 +55,7 @@ def extract_groups(table: CountedTable, *, pruned: bool = True) -> HostTable:
         kmer_hi=khi[starts],
         kmer_lo=klo[starts],
         count=sizes.astype(np.int32),
+        first_seen=stream[starts],
         read_ids=read_ids,
     )
 

@@ -118,6 +118,85 @@ def build_oracle(
     return out
 
 
+_COUNTER_DECL = """
+/* --- oracle adjacency-case counters (injected; not reference code) --- */
+long oracle_c1 = 0, oracle_c3 = 0, oracle_c3d = 0;
+long oracle_d1 = 0, oracle_d2 = 0, oracle_d3 = 0, oracle_d3d = 0;
+"""
+
+_FIRST_EXT_ANCHOR = """                        // create first extension
+                        extend_entry = extension_node.extend_entry;"""
+
+_FIRST_EXT_COUNT = (
+    _FIRST_EXT_ANCHOR
+    + """
+                        { extern long oracle_c1, oracle_c3, oracle_c3d;
+                          if ((*extend_entry)->next == (*kmer_entry)) oracle_c1++;
+                          else { oracle_c3++;
+                                 if (extend_entry == &((*kmer_entry)->next)) oracle_c3d++; } }"""
+)
+
+_FURTHER_EXT_ANCHOR = """                            extend_entry = extension_node.extend_entry;
+                            further_extension = further_extend_kmers(further_extension, *extend_entry, forward);"""
+
+_FURTHER_EXT_COUNT = """                            extend_entry = extension_node.extend_entry;
+                            { extern long oracle_d1, oracle_d2, oracle_d3, oracle_d3d;
+                              if (*extend_entry == (*kmer_entry)) oracle_d1++;
+                              else if ((*extend_entry)->next == *kmer_entry) oracle_d2++;
+                              else { oracle_d3++;
+                                     if (kmer_entry == &((*extend_entry)->next)) oracle_d3d++; } }
+                            further_extension = further_extend_kmers(further_extension, *extend_entry, forward);"""
+
+_COUNTER_PRINT = """    { extern long oracle_c1, oracle_c3, oracle_c3d, oracle_d1, oracle_d2, oracle_d3, oracle_d3d;
+      fprintf(stderr, "oracle_cases c1=%ld c3=%ld c3danger=%ld d1=%ld d2=%ld d3=%ld d3danger=%ld\\n",
+              oracle_c1, oracle_c3, oracle_c3d, oracle_d1, oracle_d2, oracle_d3, oracle_d3d); }
+    // print kmers"""
+
+
+def build_instrumented(
+    build_dir: pathlib.Path,
+    k: int = 31,
+    m: int = 4,
+    cutoff: int = 1,
+    read_length: int = 101,
+) -> pathlib.Path:
+    """Oracle variant counting extension adjacency/danger cases on stderr.
+
+    Used to establish empirically whether the reference's dead second
+    adjacency branch (binning.c:710, condition identical to binning.c:698)
+    and the dangling-slot frees in the greedy loop (SURVEY.md 2.1.9) are
+    ever exercised on a given input -- the replay engine asserts they are
+    not, so this justifies its clean-semantics assumption per fixture.
+    """
+    build_dir = pathlib.Path(build_dir)
+    tag = f"instr_k{k}_m{m}_c{cutoff}_r{read_length}"
+    out = build_dir / f"oracle_{tag}"
+    if out.exists():
+        return out
+    base = build_oracle(build_dir, k, m, cutoff, read_length)
+    src_dir = build_dir / f"src_k{k}_m{m}_c{cutoff}_r{read_length}"
+    text = (src_dir / "binning.c").read_text()
+    for needle in (_FIRST_EXT_ANCHOR, _FURTHER_EXT_ANCHOR, "    // print kmers"):
+        if needle not in text:
+            raise RuntimeError(f"instrumentation anchor not found: {needle!r}")
+    text = _COUNTER_DECL + text
+    text = text.replace(_FIRST_EXT_ANCHOR, _FIRST_EXT_COUNT, 1)
+    text = text.replace(_FURTHER_EXT_ANCHOR, _FURTHER_EXT_COUNT, 1)
+    text = text.replace("    // print kmers", _COUNTER_PRINT, 1)
+    instr_dir = build_dir / f"src_{tag}"
+    instr_dir.mkdir(parents=True, exist_ok=True)
+    for name in ("zhash.c", "zhash.h", "llist.c", "llist.h"):
+        shutil.copy(REFERENCE / name, instr_dir / name)
+    (instr_dir / "binning.c").write_text(text)
+    subprocess.run(
+        ["gcc", "-O2", "-w", "zhash.c", "binning.c", "llist.c", "-o", str(out.resolve())],
+        cwd=instr_dir,
+        check=True,
+        capture_output=True,
+    )
+    return out
+
+
 def run_oracle(
     binary: pathlib.Path, reads_file: pathlib.Path, stage: str = "unitigs"
 ) -> str:
