@@ -1,0 +1,56 @@
+"""On-demand build of the native shared library.
+
+The library is compiled once per source change (mtime + content hash) into
+the package directory; tests and the CLI trigger the build transparently.
+No external build system needed -- a single g++ invocation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pathlib
+import subprocess
+
+_DIR = pathlib.Path(__file__).resolve().parent
+_SOURCES = ["replay_engine.cpp", "reader.cpp"]
+_LIB = _DIR / "libgassembly.so"
+_STAMP = _DIR / ".build_stamp"
+
+
+def _digest() -> str:
+    h = hashlib.sha256()
+    for name in _SOURCES:
+        path = _DIR / name
+        if path.exists():
+            h.update(path.read_bytes())
+    return h.hexdigest()
+
+
+def build(force: bool = False) -> pathlib.Path:
+    """Compile the shared library if missing or stale; returns its path."""
+    digest = _digest()
+    if (
+        not force
+        and _LIB.exists()
+        and _STAMP.exists()
+        and _STAMP.read_text().strip() == digest
+    ):
+        return _LIB
+    sources = [str(_DIR / s) for s in _SOURCES if (_DIR / s).exists()]
+    cmd = [
+        "g++",
+        "-O2",
+        "-std=c++17",
+        "-fPIC",
+        "-shared",
+        "-o",
+        str(_LIB),
+        *sources,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    _STAMP.write_text(digest)
+    return _LIB
+
+
+if __name__ == "__main__":
+    print(build(force=True))

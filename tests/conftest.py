@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# This image's sitecustomize force-registers the axon TPU backend and
+# overrides jax_platforms via jax.config.update, which silently ignores the
+# env var above -- undo that explicitly so unit tests run on the 8-device
+# virtual CPU mesh, not over the TPU relay.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 import sys
 
@@ -22,6 +30,10 @@ if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
 REFERENCE_DIR = pathlib.Path("/root/reference")
+
+from genome_assembly_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 import pytest
 

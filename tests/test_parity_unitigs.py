@@ -1,0 +1,94 @@
+"""End-to-end bit-parity: unitig output vs the reference binary.
+
+These assert EXACT line order (not just multiset equality): the replay
+simulates the reference's hash-table layout dynamics, so even the
+(mmer-bin, bucket, chain) print order matches (binning.c:827-843).
+"""
+
+import gzip
+import pathlib
+
+import pytest
+
+from genome_assembly_tpu.config import PipelineConfig
+from genome_assembly_tpu.models.pipeline import ParityAssembler
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+def _golden_lines(name):
+    path = GOLDEN / name
+    if path.suffix == ".gz":
+        return gzip.decompress(path.read_bytes()).decode().splitlines()
+    return path.read_text().splitlines()
+
+
+@pytest.mark.parametrize("engine", ["python", "native"])
+def test_input_k6m3_unitigs_exact(engine):
+    cfg = PipelineConfig(k=6, m=3, max_read_len=32, batch_reads=64)
+    asm = ParityAssembler(cfg)
+    reads = asm.load("/root/reference/input.txt")
+    lines, _ = asm.assemble(reads, engine=engine)
+    assert lines == _golden_lines("input_k6m3_unitigs.txt")
+    assert len(lines) == 61
+
+
+@pytest.mark.parametrize("engine", ["python", "native"])
+def test_input_k6m3_verbose_exact(engine):
+    """print_kmer_read_ids format -- feeds the reference's plot harness."""
+    cfg = PipelineConfig(k=6, m=3, max_read_len=32, batch_reads=64)
+    asm = ParityAssembler(cfg)
+    reads = asm.load("/root/reference/input.txt")
+    text, _ = asm.assemble(reads, engine=engine, verbose=True)
+    assert text == (GOLDEN / "input_k6m3_verbose.txt").read_text()
+
+
+@pytest.mark.slow
+def test_reads_k31m4_unitigs_exact():
+    cfg = PipelineConfig(k=31, m=4, max_read_len=128, batch_reads=16384)
+    asm = ParityAssembler(cfg)
+    reads = asm.load("/root/reference/reads.txt")
+    lines, stats = asm.assemble(reads, engine="native")
+    assert lines == _golden_lines("reads_k31m4_unitigs.txt.gz")
+    assert len(lines) == 14567
+
+
+@pytest.mark.slow
+def test_reads_k6m3_unitigs_exact():
+    cfg = PipelineConfig(k=6, m=3, max_read_len=128, batch_reads=16384)
+    asm = ParityAssembler(cfg)
+    reads = asm.load("/root/reference/reads.txt")
+    lines, _ = asm.assemble(reads, engine="native")
+    assert lines == _golden_lines("reads_k6m3_unitigs.txt.gz")
+    assert len(lines) == 2469
+
+
+@pytest.mark.oracle
+def test_synthetic_reads_match_live_oracle():
+    """Fresh synthetic read set vs a live oracle run (not a stored golden):
+    guards against overfitting to the shipped fixtures."""
+    import pathlib
+    import subprocess
+    import sys
+    import tempfile
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    from tools import oracle
+
+    from genome_assembly_tpu.io import datagen
+
+    genome, reads, _ = datagen.generate_coverage_reads(
+        genome_len=2000, read_len=50, coverage=8, seed=123
+    )
+    with tempfile.TemporaryDirectory() as td:
+        reads_file = pathlib.Path(td) / "reads.txt"
+        datagen.write_reads(reads, str(reads_file))
+        binary = oracle.build_oracle(pathlib.Path("/tmp/oracle_build"), k=21, m=4)
+        want = oracle.run_oracle(binary, reads_file, "unitigs").splitlines()
+
+    cfg = PipelineConfig(k=21, m=4, max_read_len=64, batch_reads=1024)
+    asm = ParityAssembler(cfg)
+    # 50-bp lines are consumed whole by fgets(101): no truncation quirk,
+    # so the in-memory reads equal what the oracle parses.
+    lines, _ = asm.assemble(reads, engine="native")
+    assert lines == want
