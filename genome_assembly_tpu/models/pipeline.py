@@ -92,6 +92,55 @@ class CountPipeline:
         return counted, stats
 
 
+class FastAssembler:
+    """Throughput pipeline: true canonical k-mers, device dBG compaction.
+
+    No reference quirks: proper reverse complements, strand-symmetric
+    minimizers (used for sharding), value-complete neighbor lookups.  The
+    unitig phase is parallel pointer jumping (ops/dbg.py) instead of the
+    reference's serial greedy merge.
+    """
+
+    def __init__(self, config: Optional[PipelineConfig] = None):
+        self.config = config or PipelineConfig(parity=False)
+        if self.config.parity:
+            raise ValueError("FastAssembler requires parity=False config")
+        self.counter = CountPipeline(self.config)
+
+    def load(self, path: str) -> List[str]:
+        return reads_io.load_reads_fast(path)
+
+    def unitigs(self, reads: Sequence[str]) -> Tuple[List[str], PhaseStats]:
+        from genome_assembly_tpu.ops import count as count_ops_mod
+        from genome_assembly_tpu.ops import dbg
+
+        cfg = self.config
+        counted, stats = self.counter.count_reads(reads)
+        khi, klo, valid = _kept_sorted_keys(counted)
+        links = dbg.build_unitig_links(khi, klo, valid, k=cfg.k)
+        graph = dbg.pointer_jump(links)
+        out = dbg.materialize_unitigs(
+            np.asarray(khi), np.asarray(klo), np.asarray(valid), graph, cfg.k
+        )
+        stats.entries_post_extension = len(out)
+        return out, stats
+
+
+@jax.jit
+def _kept_sorted_keys(counted: count_ops.CountedTable):
+    """Surviving canonical keys re-sorted by (hi, lo) for dBG lookups.
+
+    The counted table is ordered by (mmer, hi, lo); neighbor lookups need a
+    plain (hi, lo) order.  Pruned/invalid rows become sentinels at the end.
+    """
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    khi = jnp.where(counted.keep, counted.kmer_hi, sentinel)
+    klo = jnp.where(counted.keep, counted.kmer_lo, sentinel)
+    khi_s, klo_s = jax.lax.sort((khi, klo), num_keys=2)
+    valid = khi_s != sentinel
+    return khi_s, klo_s, valid
+
+
 class ParityAssembler:
     """Bit-parity pipeline: device counting + host-native extension replay."""
 

@@ -1,0 +1,320 @@
+"""Fast-mode de Bruijn graph compaction: unitigs via parallel pointer jumping.
+
+The reference extends unitigs with a serial greedy merge over mutating hash
+tables (find_kmer_extensions, binning.c:659-783): O(entries x bin size) of
+pointer chasing, impossible to parallelize as written.  The TPU-native
+formulation is the classic list-ranking view:
+
+  1. The pruned canonical k-mer set is a sorted array (the graph's nodes).
+  2. Each node has two directed states: (node, strand).  State s has a
+     *unitig edge* to its unique successor t iff out-degree(s) == 1 and
+     in-degree(t) == 1 (in-degree(t) equals out-degree of t's flipped
+     state, by reverse-complement symmetry).  All degrees come from eight
+     membership lookups per node -- data-parallel binary searches over the
+     sorted key array, no mutation anywhere.
+  3. The unitig-edge relation is a functional graph whose maximal paths are
+     exactly the unitigs; pointer doubling ranks every state in
+     O(log chain-length) rounds of gathers (vs the reference's serial
+     walks).  Cycles are broken at their minimum state id, found by
+     min-propagation during the same doubling rounds.
+
+Unlike the reference, extension candidates are found by *value* lookup, so
+true graph neighbors are never missed due to signature binning (the
+reference only probes 4 constructed boundary bins and misses neighbors
+binned elsewhere -- SURVEY.md 2.1.8); and safe deletion simply does not
+arise: nothing mutates.
+
+Requires odd k (no reverse-complement palindromes), the standard choice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from genome_assembly_tpu.ops import encode
+
+
+def searchsorted2(
+    hi: jnp.ndarray, lo: jnp.ndarray, qhi: jnp.ndarray, qlo: jnp.ndarray
+) -> jnp.ndarray:
+    """Left insertion points of (qhi, qlo) queries in the sorted (hi, lo)
+    lane pair.  Vectorized binary search: ceil(log2 N) rounds of gathers
+    (TPUs have no native 64-bit compare; two-lane compare stays in uint32).
+    """
+    n = hi.shape[0]
+    steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    lo_b = jnp.zeros(qhi.shape, dtype=jnp.int32)
+    hi_b = jnp.full(qhi.shape, n, dtype=jnp.int32)
+
+    def body(_, carry):
+        lo_b, hi_b = carry
+        mid = (lo_b + hi_b) >> 1
+        mh = hi[jnp.clip(mid, 0, n - 1)]
+        ml = lo[jnp.clip(mid, 0, n - 1)]
+        less = (mh < qhi) | ((mh == qhi) & (ml < qlo))
+        lo_b = jnp.where(less, mid + 1, lo_b)
+        hi_b = jnp.where(less, hi_b, mid)
+        return lo_b, hi_b
+
+    lo_b, hi_b = lax.fori_loop(0, steps, body, (lo_b, hi_b))
+    return lo_b
+
+
+def lookup2(
+    hi: jnp.ndarray, lo: jnp.ndarray, qhi: jnp.ndarray, qlo: jnp.ndarray
+) -> jnp.ndarray:
+    """Index of each (qhi, qlo) in the sorted key arrays, or -1."""
+    n = hi.shape[0]
+    pos = searchsorted2(hi, lo, qhi, qlo)
+    idx = jnp.clip(pos, 0, n - 1)
+    found = (hi[idx] == qhi) & (lo[idx] == qlo) & (pos < n)
+    return jnp.where(found, pos, -1)
+
+
+class CompactedGraph(NamedTuple):
+    """Per-state chain assignment from pointer jumping.
+
+    States are indexed 2*node + strand (strand 0 = the canonical key's own
+    orientation, 1 = its reverse complement).  All arrays have length 2N.
+    """
+
+    next_state: jnp.ndarray  # unitig-edge successor state or -1
+    head: jnp.ndarray  # chain head state id
+    rank: jnp.ndarray  # position within chain
+    is_cycle: jnp.ndarray  # state belongs to a cyclic chain
+
+
+def _oriented_value(khi, klo, rhi, rlo, strand):
+    """Packed oriented k-mer of each (node, strand)."""
+    ohi = jnp.where(strand == 0, khi, rhi)
+    olo = jnp.where(strand == 0, klo, rlo)
+    return ohi, olo
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def build_unitig_links(
+    khi: jnp.ndarray, klo: jnp.ndarray, valid: jnp.ndarray, *, k: int
+) -> jnp.ndarray:
+    """next_state[2N]: the unitig-edge successor of every state, or -1.
+
+    khi/klo: sorted canonical keys, padded; valid marks real rows.
+    """
+    if k % 2 == 0:
+        raise ValueError("fast-mode dBG requires odd k (no RC palindromes)")
+    n = khi.shape[0]
+    n_lo = min(k, 16)
+    n_hi = k - n_lo
+    mask_lo = jnp.uint32((1 << (2 * n_lo)) - 1)
+    mask_hi = jnp.uint32((1 << (2 * n_hi)) - 1) if n_hi else jnp.uint32(0)
+
+    rhi, rlo = encode.reverse_complement_packed(khi, klo, k)
+
+    # states: [2N] node = s >> 1, strand = s & 1
+    node = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 2)
+    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), n)
+    ohi, olo = _oriented_value(khi[node], klo[node], rhi[node], rlo[node], strand)
+    state_valid = valid[node]
+
+    # Successor candidates: drop the leading base, append b.
+    # oriented value v (2k bits in two lanes) -> suffix = v without its top
+    # base; cand = suffix << 2 | b.
+    if n_hi > 0:
+        suf_hi = ((ohi << 2) | (olo >> (2 * (n_lo - 1)))) & mask_hi
+        suf_lo_base = (olo << 2) & mask_lo
+    else:
+        suf_hi = jnp.zeros_like(ohi)
+        suf_lo_base = (olo << 2) & mask_lo
+
+    state_id = 2 * node + strand
+    out_deg = jnp.zeros(2 * n, dtype=jnp.int32)
+    succ_state = jnp.full(2 * n, -1, dtype=jnp.int32)
+    for b in range(4):
+        chi = suf_hi
+        clo = suf_lo_base | jnp.uint32(b)
+        # canonical form of the candidate
+        rchi, rclo = encode.reverse_complement_packed(chi, clo, k)
+        fwd_le = (chi < rchi) | ((chi == rchi) & (clo <= rclo))
+        qhi = jnp.where(fwd_le, chi, rchi)
+        qlo = jnp.where(fwd_le, clo, rclo)
+        idx = lookup2(khi, klo, qhi, qlo)
+        found = (idx >= 0) & state_valid
+        # entry strand of the target: 0 if the candidate equals the target's
+        # canonical orientation (fwd_le), else 1.
+        t_state = jnp.where(fwd_le, 2 * idx, 2 * idx + 1).astype(jnp.int32)
+        # A hairpin edge (target is this state's own twin) is a loop on the
+        # node's port in the bidirected model and contributes degree 2:
+        # it can never be a unitig edge, and its presence also disqualifies
+        # any other extension through this port.
+        hairpin = t_state == (state_id ^ 1)
+        out_deg = out_deg + jnp.where(hairpin, 2, 1) * found.astype(jnp.int32)
+        succ_state = jnp.where(found, t_state, succ_state)
+
+    # unitig edge: out_deg(s) == 1 and in_deg(t) == 1, where
+    # in_deg(t) == out_deg(flip(t)).
+    unique_succ = (out_deg == 1) & state_valid
+    t = jnp.where(unique_succ, succ_state, 0)
+    flip_t = t ^ 1
+    t_in_deg = out_deg[flip_t]
+    next_state = jnp.where(unique_succ & (t_in_deg == 1), succ_state, -1)
+    return next_state
+
+
+@jax.jit
+def pointer_jump(next_state: jnp.ndarray) -> CompactedGraph:
+    """List-rank the unitig chains: head id + rank per state.
+
+    Pointer doubling over *predecessor* links with head-absorbing
+    self-loops: after ceil(log2(2N)) rounds every acyclic state has jumped
+    to its chain head with its distance accumulated.  Cycles (no head)
+    adopt the minimum state id on the cycle -- propagated by the same
+    doubling -- as a deterministic representative.
+    """
+    n2 = next_state.shape[0]
+    steps = max(1, int(np.ceil(np.log2(max(n2, 2)))) + 1)
+    ids = jnp.arange(n2, dtype=jnp.int32)
+
+    # Unique predecessor (in-degree <= 1 by the unitig-edge rule).
+    # Scatter with an out-of-range index for "no link" so nothing real is
+    # clobbered.
+    pred = jnp.full(n2, -1, dtype=jnp.int32)
+    src = jnp.where(next_state >= 0, next_state, n2)
+    pred = pred.at[src].set(ids, mode="drop")
+
+    # Head-absorbing parent: heads (pred == -1) self-loop with rank 0.
+    parent = jnp.where(pred >= 0, pred, ids)
+    rank = (pred >= 0).astype(jnp.int32)
+    min_id = jnp.minimum(ids, parent)
+
+    def body(_, carry):
+        parent, rank, min_id = carry
+        rank2 = rank + rank[parent]
+        min2 = jnp.minimum(min_id, min_id[parent])
+        parent2 = parent[parent]
+        return parent2, rank2, min2
+
+    parent, rank, min_id = lax.fori_loop(0, steps, body, (parent, rank, min_id))
+
+    # Acyclic states absorbed at the head (whose pred is -1).  Cyclic
+    # states' parent is still somewhere on the cycle: pred[parent] >= 0.
+    is_cycle = pred[parent] >= 0
+    head = jnp.where(is_cycle, min_id, parent)
+    return CompactedGraph(
+        next_state=next_state, head=head, rank=rank, is_cycle=is_cycle
+    )
+
+
+def materialize_unitigs(
+    khi: np.ndarray,
+    klo: np.ndarray,
+    valid: np.ndarray,
+    graph: CompactedGraph,
+    k: int,
+) -> List[str]:
+    """Host-side unitig assembly from chain assignments.
+
+    Devices keep fixed shapes; the ragged string assembly happens here
+    (SURVEY.md section 7 "variable-length unitigs on fixed-shape buffers").
+    Each unitig appears once: of the two strand traversals, keep the one
+    whose string is the canonical (packed-min) representative.
+    """
+    khi = np.asarray(khi, dtype=np.uint64)
+    klo = np.asarray(klo, dtype=np.uint64)
+    valid = np.asarray(valid)
+    next_state = np.asarray(graph.next_state)
+    head = np.asarray(graph.head)
+    rank = np.asarray(graph.rank)
+    is_cycle = np.asarray(graph.is_cycle)
+
+    n = khi.shape[0]
+    n_lo = min(k, 16)
+    value = (khi << (2 * n_lo)) | klo  # full 2k-bit packed value
+    kmask = (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
+
+    # oriented values per state
+    def rc_val(v):
+        # reverse complement of packed value(s), vectorized
+        out = np.zeros_like(v)
+        comp = kmask - v  # complement per 2-bit group == mask - v
+        for j in range(k):
+            out = (out << np.uint64(2)) | ((comp >> np.uint64(2 * j)) & np.uint64(3))
+        return out
+
+    rc_value = rc_val(value)
+    state_val = np.empty(2 * n, dtype=np.uint64)
+    state_val[0::2] = value
+    state_val[1::2] = rc_value
+
+    state_ids = np.arange(2 * n)
+    node_valid = np.repeat(valid, 2)
+
+    # Cycle handling: every cyclic state's rank is meaningless from the
+    # doubling; recompute rank around the cycle from the representative by
+    # a short host walk (cycles are rare and bounded by chain length).
+    order = {}
+    chains: dict = {}
+    for s in state_ids[node_valid]:
+        h = head[s]
+        chains.setdefault(h, []).append(s)
+
+    unitigs: List[str] = []
+    seen_cycle_canon = set()
+    seen_palindromes = set()
+    for h, members in chains.items():
+        if not node_valid[h]:
+            continue
+        if is_cycle[h]:
+            # walk the cycle from the representative (short host walk)
+            seq = [h]
+            cur = next_state[h]
+            while cur != h and cur != -1:
+                seq.append(cur)
+                cur = next_state[cur]
+            ordered = seq
+        else:
+            members.sort(key=lambda s: rank[s])
+            ordered = members
+        # assemble: first state contributes k bases, the rest 1 base each
+        first = int(state_val[ordered[0]])
+        bases = [encode.unpack_int(first, k)]
+        for s in ordered[1:]:
+            bases.append(encode.BASE_BY_CODE[int(state_val[s] & np.uint64(3))])
+        u = "".join(bases)
+        # strand dedup: each unitig is traversed once per strand; keep one.
+        rc_u = _rc_str(u)
+        if is_cycle[h]:
+            # rotation+strand canonical form dedups the two strand cycles
+            body = u[k - 1 :]  # cycle period
+            rc_body = _rc_str(u)[k - 1 :]
+            canon = min(
+                min(body[i:] + body[:i] for i in range(len(body))),
+                min(rc_body[i:] + rc_body[:i] for i in range(len(rc_body))),
+            )
+            if canon in seen_cycle_canon:
+                continue
+            seen_cycle_canon.add(canon)
+            unitigs.append(u)
+        elif u == rc_u:
+            # palindromic unitig: both strand chains spell the same string;
+            # keep exactly one (individual k-mers can't be palindromic for
+            # odd k, but whole unitigs of even length can)
+            if u in seen_palindromes:
+                continue
+            seen_palindromes.add(u)
+            unitigs.append(u)
+        elif u < rc_u:
+            unitigs.append(u)
+    return unitigs
+
+
+_RC_TABLE = str.maketrans("ACGT", "TGCA")
+
+
+def _rc_str(s: str) -> str:
+    return s.translate(_RC_TABLE)[::-1]

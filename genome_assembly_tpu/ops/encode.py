@@ -109,6 +109,41 @@ def complement_packed(
     return hi ^ mask_hi, lo ^ mask_lo
 
 
+def reverse_complement_u32(v: jnp.ndarray, n: int) -> jnp.ndarray:
+    """True reverse complement of single-lane packed n-mers (n <= 15)."""
+    comp = jnp.uint32((1 << (2 * n)) - 1) - v
+    out = jnp.zeros_like(v)
+    for j in range(n):
+        out = out | (((comp >> (2 * j)) & 3) << (2 * (n - 1 - j)))
+    return out
+
+
+def reverse_complement_packed(
+    hi: jnp.ndarray, lo: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """True reverse complement of packed k-mers (fast mode only).
+
+    k is static, so the per-base regroup unrolls into shifts/ors that XLA
+    fuses; elementwise over any shape.
+    """
+    n_lo = min(k, 16)
+    n_hi = k - n_lo
+    codes = []
+    for j in range(n_hi):
+        codes.append((hi >> (2 * (n_hi - 1 - j))) & 3)
+    for j in range(n_lo):
+        codes.append((lo >> (2 * (n_lo - 1 - j))) & 3)
+    codes = [3 - c for c in codes]  # complement
+    codes.reverse()  # reversal
+    rhi = jnp.zeros_like(hi)
+    for j in range(n_hi):
+        rhi = (rhi << 2) | codes[j].astype(jnp.uint32)
+    rlo = jnp.zeros_like(lo)
+    for j in range(n_hi, k):
+        rlo = (rlo << 2) | codes[j].astype(jnp.uint32)
+    return rhi, rlo
+
+
 # ---------------------------------------------------------------------------
 # Host-side (numpy / Python int) helpers, used for decoding device results to
 # strings and in tests.  Not on any hot path.

@@ -100,36 +100,6 @@ def parity_scan(
     return WindowRecords(mmer, kmer_hi, kmer_lo, valid)
 
 
-def _reverse_complement_packed(
-    hi: jnp.ndarray, lo: jnp.ndarray, k: int
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """True reverse complement of packed k-mers (fast mode only).
-
-    Reverses the k 2-bit groups across the (hi, lo) lane pair, then
-    complements.  Bit-reversal is done with masked shift doubling on a
-    64-bit value emulated as four 16-base half-lanes; for k <= 31 we simply
-    materialize the 2k-bit value in two uint32s and swap groups via a small
-    unrolled loop (k is static, so XLA fuses this into shifts/ors).
-    """
-    n_lo = min(k, 16)
-    n_hi = k - n_lo
-    # Collect the k codes MSB-first, then reassemble reversed.
-    codes = []
-    for j in range(n_hi):
-        codes.append((hi >> (2 * (n_hi - 1 - j))) & 3)
-    for j in range(n_lo):
-        codes.append((lo >> (2 * (n_lo - 1 - j))) & 3)
-    codes = [3 - c for c in codes]  # complement
-    codes.reverse()  # reversal
-    rhi = jnp.zeros_like(hi)
-    for j in range(n_hi):
-        rhi = (rhi << 2) | codes[j].astype(jnp.uint32)
-    rlo = jnp.zeros_like(lo)
-    for j in range(n_hi, k):
-        rlo = (rlo << 2) | codes[j].astype(jnp.uint32)
-    return rhi, rlo
-
-
 @functools.partial(jax.jit, static_argnames=("k", "m"))
 def fast_scan(
     codes: jnp.ndarray, lengths: jnp.ndarray, *, k: int, m: int
@@ -147,10 +117,12 @@ def fast_scan(
     """
     batch, max_len = codes.shape
     n_win = max_len - k + 1
-    mask = jnp.uint32((1 << (2 * m)) - 1)
 
     fwd = encode.windowed_scores(codes, m)
-    canon_m = jnp.minimum(fwd, mask - fwd)  # strand-symmetric m-mer key
+    # strand-symmetric m-mer key: min(mmer, true reverse complement), so a
+    # k-mer and its RC always produce the same minimizer (and therefore the
+    # same shard) -- unlike the reference's complement-without-reversal.
+    canon_m = jnp.minimum(fwd, encode.reverse_complement_u32(fwd, m))
 
     # Windowed min over the k - m + 1 m-mer positions of each window:
     # unrolled shift-min (k, m static; wwin = k - m + 1 lanes of work).
@@ -160,7 +132,7 @@ def fast_scan(
         wmin = jnp.minimum(wmin, canon_m[:, j : j + n_win])
 
     khi, klo = encode.pack_kmers(codes, k)
-    rhi, rlo = _reverse_complement_packed(khi, klo, k)
+    rhi, rlo = encode.reverse_complement_packed(khi, klo, k)
     fwd_smaller = (khi < rhi) | ((khi == rhi) & (klo <= rlo))
     kmer_hi = jnp.where(fwd_smaller, khi, rhi)
     kmer_lo = jnp.where(fwd_smaller, klo, rlo)

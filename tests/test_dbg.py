@@ -1,0 +1,252 @@
+"""Fast-mode dBG compaction vs a brute-force Python oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from genome_assembly_tpu.ops import dbg, encode
+
+RC = str.maketrans("ACGT", "TGCA")
+
+
+def rc(s):
+    return s.translate(RC)[::-1]
+
+
+def canon(s):
+    return min(s, rc(s), key=encode.pack_str)
+
+
+def genome_kmers(genome, k):
+    return [genome[i : i + k] for i in range(len(genome) - k + 1)]
+
+
+def brute_force_unitigs(kmers, k):
+    """Textbook bidirectional dBG compaction over canonical k-mers.
+
+    Returns (linear, cycles): linear as strand-canonical strings, cycles as
+    rotation+strand-canonical period strings.
+    """
+    nodes = {canon(x) for x in kmers}
+
+    def present(s):
+        return canon(s) in nodes
+
+    def fwd_deg(s):
+        # hairpin edges (continuation == rc(s)) are port loops: degree 2
+        d = 0
+        for b in "ACGT":
+            t = s[1:] + b
+            if present(t):
+                d += 2 if t == rc(s) else 1
+        return d
+
+    def bwd_deg(s):
+        return fwd_deg(rc(s))
+
+    def fwd_exts(s):
+        return [b for b in "ACGT" if present(s[1:] + b)]
+
+    def bwd_exts(s):
+        return [b for b in "ACGT" if present(b + s[:-1])]
+
+    def unitig_edge(s):
+        if fwd_deg(s) != 1:
+            return None
+        t = s[1:] + fwd_exts(s)[0]
+        if bwd_deg(t) != 1:
+            return None
+        return t
+
+    states = set()
+    for x in nodes:
+        states.add(x)
+        states.add(rc(x))
+
+    def has_unitig_pred(s):
+        preds = bwd_exts(s)
+        if len(preds) != 1:
+            return False
+        return unitig_edge(preds[0] + s[:-1]) == s
+
+    linear = set()
+    visited = set()
+    for s in sorted(states):
+        if has_unitig_pred(s):
+            continue
+        seq = s
+        visited.add(s)
+        cur = s
+        while True:
+            t = unitig_edge(cur)
+            if t is None or t == s:
+                break
+            seq += t[-1]
+            visited.add(t)
+            cur = t
+        linear.add(min(seq, rc(seq)))
+
+    cycles = set()
+    remaining = states - visited
+    while remaining:
+        s = sorted(remaining)[0]
+        seq = s
+        cur = s
+        members = [s]
+        while True:
+            t = unitig_edge(cur)
+            assert t is not None, "non-cycle state left over"
+            if t == s:
+                break
+            seq += t[-1]
+            members.append(t)
+            cur = t
+        for t in members:
+            remaining.discard(t)
+            remaining.discard(rc(t))
+        body = seq[k - 1 :]
+        rc_body = rc(seq)[k - 1 :]
+        cycles.add(
+            min(
+                min(body[i:] + body[:i] for i in range(len(body))),
+                min(rc_body[i:] + rc_body[:i] for i in range(len(rc_body))),
+            )
+        )
+    return linear, cycles
+
+
+def run_device_compaction(kmers, k):
+    keys = sorted({encode.pack_str(canon(x)) for x in kmers})
+    n = len(keys)
+    pad = max(8, 1 << int(np.ceil(np.log2(max(n, 2)))))
+    n_lo = min(k, 16)
+    hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros(pad, dtype=bool)
+    for i, v in enumerate(keys):
+        hi[i] = v >> (2 * n_lo)
+        lo[i] = v & ((1 << (2 * n_lo)) - 1)
+        valid[i] = True
+    links = dbg.build_unitig_links(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid), k=k
+    )
+    graph = dbg.pointer_jump(links)
+    return dbg.materialize_unitigs(hi, lo, valid, graph, k)
+
+
+def split_device_output(unitigs, k, want_cycles):
+    """Classify device unitigs into (linear set, cycle-period set) using
+    the brute-force cycle periods for identification."""
+    linear = set()
+    cycles = set()
+    for u in unitigs:
+        body = u[k - 1 :]
+        rc_body = rc(u)[k - 1 :]
+        cands = {body[i:] + body[:i] for i in range(len(body))} | {
+            rc_body[i:] + rc_body[:i] for i in range(len(rc_body))
+        }
+        hit = cands & want_cycles
+        if hit:
+            cycles.add(next(iter(hit)))
+        else:
+            linear.add(min(u, rc(u)))
+    return linear, cycles
+
+
+def check_exact_coverage(unitigs, kmers, k):
+    """Every canonical k-mer appears in exactly one unitig exactly once."""
+    ms = {}
+    for u in unitigs:
+        for x in genome_kmers(u, k):
+            c = canon(x)
+            ms[c] = ms.get(c, 0) + 1
+    assert set(ms) == {canon(x) for x in kmers}
+    assert all(v == 1 for v in ms.values()), "k-mer repeated across unitigs"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("k", [5, 7, 11])
+def test_compaction_matches_brute_force_random_genome(seed, k):
+    rng = np.random.default_rng(seed)
+    genome = "".join(rng.choice(list("ACGT"), size=200))
+    kmers = genome_kmers(genome, k)
+    want_linear, want_cycles = brute_force_unitigs(kmers, k)
+    got = run_device_compaction(kmers, k)
+    got_linear, got_cycles = split_device_output(got, k, want_cycles)
+    assert got_linear == want_linear
+    assert got_cycles == want_cycles
+    check_exact_coverage(got, kmers, k)
+
+
+def test_with_reverse_complement_reads():
+    """Mixed-strand input must collapse to the same canonical graph."""
+    rng = np.random.default_rng(9)
+    genome = "".join(rng.choice(list("ACGT"), size=300))
+    k = 9
+    kmers_fwd = genome_kmers(genome, k)
+    kmers_mixed = [x if i % 2 else rc(x) for i, x in enumerate(kmers_fwd)]
+    assert run_device_compaction(kmers_fwd, k) == run_device_compaction(
+        kmers_mixed, k
+    )
+
+
+def test_simple_linear_genome():
+    # A/G-only genome: reverse complements are T/C-only, so no hairpins or
+    # palindromic junctions -- must compact to one unitig.
+    genome = "AAGGAGAGGGAAGAGGA"
+    k = 7
+    assert len(set(genome_kmers(genome, k))) == len(genome) - k + 1
+    got = run_device_compaction(genome_kmers(genome, k), k)
+    assert len(got) == 1
+    assert got[0] in (genome, rc(genome))
+
+
+def test_palindromic_junction_splits():
+    # contains the palindromic 6-mer GGATCC: the hairpin rule must split
+    # deterministically and identically to the oracle
+    genome = "ACGTGCAATCGGATCCA"
+    k = 7
+    kmers = genome_kmers(genome, k)
+    want_linear, want_cycles = brute_force_unitigs(kmers, k)
+    got = run_device_compaction(kmers, k)
+    got_linear, got_cycles = split_device_output(got, k, want_cycles)
+    assert got_linear == want_linear
+    assert got_cycles == want_cycles
+    check_exact_coverage(got, kmers, k)
+
+
+def test_branch_splits_unitigs():
+    k = 5
+    reads = ["AAACGTTTCC", "GGACGTTTAA"]
+    kmers = [x for r in reads for x in genome_kmers(r, k)]
+    got = run_device_compaction(kmers, k)
+    want_linear, want_cycles = brute_force_unitigs(kmers, k)
+    got_linear, got_cycles = split_device_output(got, k, want_cycles)
+    assert got_linear == want_linear
+    assert got_cycles == want_cycles
+    check_exact_coverage(got, kmers, k)
+
+
+def test_cycle_genome():
+    k = 5
+    period = "ACGGTCA"
+    s = period * 3
+    kmers = sorted({canon(s[i : i + k]) for i in range(len(period))})
+    want_linear, want_cycles = brute_force_unitigs(kmers, k)
+    got = run_device_compaction(kmers, k)
+    got_linear, got_cycles = split_device_output(got, k, want_cycles)
+    assert got_linear == want_linear
+    assert got_cycles == want_cycles
+
+
+def test_self_loop_homopolymer():
+    # AAAAA's canonical kmer has a self edge; must not hang or duplicate
+    k = 5
+    kmers = ["AAAAA", "AAAAC", "AACGT"]
+    got = run_device_compaction(kmers, k)
+    ms = set()
+    for u in got:
+        for x in genome_kmers(u, k):
+            ms.add(canon(x))
+    assert ms == {canon(x) for x in kmers}

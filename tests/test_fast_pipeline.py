@@ -1,0 +1,63 @@
+"""Fast-mode end-to-end: reads -> canonical count/prune -> dBG unitigs."""
+
+import numpy as np
+import pytest
+
+from genome_assembly_tpu.config import PipelineConfig
+from genome_assembly_tpu.io import datagen
+from genome_assembly_tpu.models.pipeline import FastAssembler
+from test_dbg import brute_force_unitigs, check_exact_coverage, rc, canon, genome_kmers, split_device_output
+
+
+def test_fast_pipeline_matches_brute_force():
+    genome, reads, _ = datagen.generate_coverage_reads(
+        genome_len=1500, read_len=60, coverage=10, seed=5, with_reverse=True
+    )
+    k, m = 11, 5
+    cfg = PipelineConfig(
+        k=k, m=m, parity=False, max_read_len=64, batch_reads=512
+    )
+    asm = FastAssembler(cfg)
+    unitigs, stats = asm.unitigs(reads)
+
+    # surviving canonical kmer set (count > 1) from first principles
+    counts = {}
+    for r in reads:
+        for x in genome_kmers(r, k):
+            c = canon(x)
+            counts[c] = counts.get(c, 0) + 1
+    kept = {x for x, n in counts.items() if n > 1}
+
+    want_linear, want_cycles = brute_force_unitigs(sorted(kept), k)
+    got_linear, got_cycles = split_device_output(unitigs, k, want_cycles)
+    assert got_linear == want_linear
+    assert got_cycles == want_cycles
+    check_exact_coverage(unitigs, sorted(kept), k)
+    assert stats.entries_post_prune == len(kept)
+
+
+def test_fast_pipeline_reconstructs_clean_genome():
+    """Error-free high-coverage reads over a genome with mostly unique
+    k-mers: the longest unitig should recover a large genome fraction."""
+    genome, reads, _ = datagen.generate_coverage_reads(
+        genome_len=800, read_len=80, coverage=15, seed=11, with_reverse=True
+    )
+    k = 21
+    cfg = PipelineConfig(k=k, m=7, parity=False, max_read_len=96, batch_reads=256)
+    unitigs, _ = FastAssembler(cfg).unitigs(reads)
+    longest = max(unitigs, key=len)
+    # the longest unitig (either strand) must be a genome substring
+    assert longest in genome or rc(longest) in genome
+    assert len(longest) > 0.5 * len(genome)
+
+
+def test_fast_pipeline_strand_invariance():
+    """Reversing every read must not change the unitig set."""
+    genome, reads, _ = datagen.generate_coverage_reads(
+        genome_len=600, read_len=50, coverage=8, seed=3
+    )
+    k, m = 13, 5
+    cfg = PipelineConfig(k=k, m=m, parity=False, max_read_len=64, batch_reads=256)
+    u1, _ = FastAssembler(cfg).unitigs(reads)
+    u2, _ = FastAssembler(cfg).unitigs([rc(r) for r in reads])
+    assert sorted(min(u, rc(u)) for u in u1) == sorted(min(u, rc(u)) for u in u2)

@@ -128,12 +128,24 @@ def test_fast_scan_canonical(k, m):
             want = min(fwd_v, rc_v)
             got = encode.split_to_int(khi[b, i], klo[b, i], k)
             assert got == want, (read, i)
-            # minimizer: min over m-windows of min(score, mask - score)
+            # minimizer: min over m-windows of min(mmer, true RC) -- a
+            # strand-symmetric key (same for the window and its RC)
             want_m = min(
                 min(
-                    encode.score_str(window[p : p + m]),
-                    mask - encode.score_str(window[p : p + m]),
+                    encode.score_str(sub),
+                    encode.score_str(sub.translate(comp)[::-1]),
                 )
                 for p in range(k - m + 1)
+                for sub in [window[p : p + m]]
             )
             assert int(wmin[b, i]) == want_m
+            rc_window = window.translate(comp)[::-1]
+            want_m_rc = min(
+                min(
+                    encode.score_str(sub),
+                    encode.score_str(sub.translate(comp)[::-1]),
+                )
+                for p in range(k - m + 1)
+                for sub in [rc_window[p : p + m]]
+            )
+            assert want_m == want_m_rc
