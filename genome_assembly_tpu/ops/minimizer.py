@@ -53,16 +53,16 @@ def _signature_positions(mx: jnp.ndarray, k: int, m: int) -> jnp.ndarray:
     wwin = k - m + 1
 
     def step(sig_pos, i):
-        def rescan(_):
-            w = lax.dynamic_slice_in_dim(mx, i, wwin)
-            return (i + jnp.argmax(w)).astype(jnp.int32)
-
-        new_pos = lax.cond(sig_pos < i, rescan, lambda _: sig_pos, None)
+        # Unconditional windowed argmax + select: under vmap a lax.cond
+        # executes both branches anyway, and deriving everything from mx
+        # keeps the carry's varying-axis type consistent under shard_map.
+        w = lax.dynamic_slice_in_dim(mx, i, wwin)
+        fresh = (i + jnp.argmax(w)).astype(jnp.int32)
+        new_pos = jnp.where(sig_pos < i, fresh, sig_pos)
         return new_pos, new_pos
 
-    _, positions = lax.scan(
-        step, jnp.int32(-1), jnp.arange(n_win, dtype=jnp.int32)
-    )
+    init = (mx[0] * 0).astype(jnp.int32) - 1  # -1, inheriting mx's vma type
+    _, positions = lax.scan(step, init, jnp.arange(n_win, dtype=jnp.int32))
     return positions
 
 

@@ -1,0 +1,248 @@
+"""Minimizer-sharded distributed k-mer counting.
+
+The distributed analogue of the reference's two-level table, and the design
+the reference's author left as an open question (FAQ.md:11, "how to merge
+bins across nodes"):
+
+  1. Each shard scans its slice of the read batch locally (data parallel).
+  2. Every record is routed to ``owner(minimizer)`` via a capacity-padded
+     ``all_to_all`` over the mesh's ICI -- the MSP/KMC super-k-mer routing
+     idea in array form.
+  3. Each shard sorts and segment-counts the records it owns; shards own
+     disjoint minimizer ranges, so no cross-shard groups exist and pruning
+     is local.
+
+Ownership uses a multiplicative hash of the minimizer so skewed minimizer
+distributions (33 bins held 102k records on reads.txt -- SURVEY.md section
+7) spread across shards.  Per-(shard, owner) routing capacity is a static
+slack factor over the uniform share; overflow is detected and reported via
+a psum'd counter so callers can re-run with more slack rather than
+silently losing records.
+
+Everything below runs under ``jax.shard_map`` with a 1-D mesh and works
+identically on a virtual CPU mesh (tests) and a TPU slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from genome_assembly_tpu.ops import minimizer as minimizer_ops
+from genome_assembly_tpu.ops.count import SENTINEL
+
+SHARD_AXIS = "shards"
+
+# Knuth's multiplicative constant; spreads consecutive minimizer values.
+_HASH_MULT = np.uint32(2654435761)
+
+
+def owner_of(mmer: jnp.ndarray, n_shards: int) -> jnp.ndarray:
+    """Shard owning a minimizer: multiplicative hash then mod."""
+    return ((mmer * _HASH_MULT) >> 8) % jnp.uint32(n_shards)
+
+
+class ShardedCount(NamedTuple):
+    """Per-shard counted table, arrays [n_shards, cap] (leading axis sharded).
+
+    Groups are complete within one shard (ownership is by minimizer), so
+    `keep`/`count` have the same meaning as the single-device CountedTable.
+    """
+
+    mmer: jnp.ndarray
+    kmer_hi: jnp.ndarray
+    kmer_lo: jnp.ndarray
+    read_id: jnp.ndarray
+    stream_idx: jnp.ndarray
+    valid: jnp.ndarray
+    group_start: jnp.ndarray
+    count: jnp.ndarray
+    keep: jnp.ndarray
+    overflow: jnp.ndarray  # [n_shards] dropped-record counts (want all zero)
+
+
+def _scan_and_route(
+    codes, lengths, read_ids, stream_offset, *, k, m, parity, n_shards, cap
+):
+    """Per-shard body: local scan -> bucketize by owner -> all_to_all ->
+    local sort/count.  Shapes: codes [rows, L]; returns [n_shards, cap]
+    blocks (pre-concat) plus overflow scalar."""
+    scan = minimizer_ops.parity_scan if parity else minimizer_ops.fast_scan
+    recs = scan(codes, lengths, k=k, m=m)
+    rows, n_win = recs.mmer.shape
+    n = rows * n_win
+
+    mmer = jnp.where(recs.valid, recs.mmer, SENTINEL).reshape(n)
+    khi = recs.kmer_hi.reshape(n)
+    klo = recs.kmer_lo.reshape(n)
+    rid = jnp.broadcast_to(read_ids[:, None], (rows, n_win)).reshape(n)
+    stream = jnp.arange(n, dtype=jnp.uint32) + stream_offset.reshape(())
+    valid = recs.valid.reshape(n)
+
+    owner = jnp.where(valid, owner_of(mmer, n_shards), jnp.uint32(n_shards))
+
+    # Sort by owner; within-owner offset = index - first index of the group.
+    owner_s, mmer_s, khi_s, klo_s, rid_s, stream_s = lax.sort(
+        (owner, mmer, khi, klo, rid, stream), num_keys=1, is_stable=True
+    )
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first_of_owner = jnp.searchsorted(owner_s, owner_s, side="left")
+    slot = idx - first_of_owner
+    ok = (slot < cap) & (owner_s < n_shards)
+    overflow = jnp.sum((slot >= cap) & (owner_s < n_shards))
+
+    # Scatter into per-owner capacity blocks; rows that don't fit (or are
+    # invalid) get an out-of-range index and drop.
+    o_idx = jnp.where(ok, owner_s.astype(jnp.int32), n_shards)
+    s_idx = jnp.where(ok, slot, 0)
+
+    def scatter(vals, fill):
+        buf = jnp.full((n_shards, cap), fill, dtype=vals.dtype)
+        return buf.at[o_idx, s_idx].set(vals, mode="drop")
+
+    b_mmer = scatter(mmer_s, SENTINEL)
+    b_khi = scatter(khi_s, jnp.uint32(0))
+    b_klo = scatter(klo_s, jnp.uint32(0))
+    b_rid = scatter(rid_s, jnp.uint32(0))
+    b_stream = scatter(stream_s, jnp.uint32(0xFFFFFFFF))
+
+    # Exchange: block j goes to shard j.
+    def xchg(x):
+        return lax.all_to_all(x, SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True)
+
+    r_mmer = xchg(b_mmer).reshape(-1)
+    r_khi = xchg(b_khi).reshape(-1)
+    r_klo = xchg(b_klo).reshape(-1)
+    r_rid = xchg(b_rid).reshape(-1)
+    r_stream = xchg(b_stream).reshape(-1)
+    r_valid = r_mmer != SENTINEL
+
+    # Local count over owned records; sort by key then stream for stable
+    # per-group read-id order.
+    m_s, hi_s, lo_s, st_s, id_s, v_s = lax.sort(
+        (r_mmer, r_khi, r_klo, r_stream, r_rid, r_valid),
+        num_keys=4,
+        is_stable=True,
+    )
+    total = m_s.shape[0]
+    prev_same = jnp.concatenate(
+        [
+            jnp.zeros((1,), dtype=bool),
+            (m_s[1:] == m_s[:-1])
+            & (hi_s[1:] == hi_s[:-1])
+            & (lo_s[1:] == lo_s[:-1]),
+        ]
+    )
+    group_start = ~prev_same
+    group_id = jnp.cumsum(group_start.astype(jnp.int32)) - 1
+    sizes = jax.ops.segment_sum(v_s.astype(jnp.int32), group_id, num_segments=total)
+    count = sizes[group_id]
+    return (
+        m_s[None],
+        hi_s[None],
+        lo_s[None],
+        id_s[None],
+        st_s[None],
+        v_s[None],
+        group_start[None],
+        count[None],
+        overflow[None],
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "m", "parity", "cutoff", "mesh", "slack")
+)
+def sharded_count(
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    read_ids: jnp.ndarray,
+    *,
+    k: int,
+    m: int,
+    parity: bool,
+    cutoff: int,
+    mesh: Mesh,
+    slack: float = 4.0,
+) -> ShardedCount:
+    """Distributed count+prune over a 1-D mesh.
+
+    codes [B, L] / lengths [B] / read_ids [B] sharded on axis 0 (B must be
+    divisible by mesh size).
+    """
+    n_shards = mesh.shape[SHARD_AXIS]
+    batch, max_len = codes.shape
+    rows = batch // n_shards
+    n_win = max_len - k + 1
+    n_local = rows * n_win
+    cap = int(np.ceil(n_local / n_shards * slack))
+    # per-shard stream offsets follow the global (read, window) order
+    offsets = (
+        jnp.arange(n_shards, dtype=jnp.uint32)[:, None] * jnp.uint32(n_local)
+    )
+
+    fn = jax.shard_map(
+        functools.partial(
+            _scan_and_route,
+            k=k,
+            m=m,
+            parity=parity,
+            n_shards=n_shards,
+            cap=cap,
+        ),
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=P(SHARD_AXIS),
+    )
+    m_s, hi_s, lo_s, id_s, st_s, v_s, gs, count, overflow = fn(
+        codes, lengths, read_ids, offsets
+    )
+    keep = gs & v_s & (count > cutoff)
+    return ShardedCount(
+        mmer=m_s,
+        kmer_hi=hi_s,
+        kmer_lo=lo_s,
+        read_id=id_s,
+        stream_idx=st_s,
+        valid=v_s,
+        group_start=gs,
+        count=count,
+        keep=keep,
+        overflow=overflow,
+    )
+
+
+def sharded_to_host_dict(sc: ShardedCount, k: int, m: int):
+    """Merge per-shard tables into the string-keyed dict (tests/materialize).
+
+    Shards own disjoint minimizers, so this is pure concatenation.
+    """
+    from genome_assembly_tpu.ops import encode
+
+    out = {}
+    mmer = np.asarray(sc.mmer)
+    khi = np.asarray(sc.kmer_hi)
+    klo = np.asarray(sc.kmer_lo)
+    rid = np.asarray(sc.read_id)
+    stream = np.asarray(sc.stream_idx)
+    count = np.asarray(sc.count)
+    keep = np.asarray(sc.keep)
+    for s in range(mmer.shape[0]):
+        starts = np.flatnonzero(keep[s])
+        for g in starts:
+            c = count[s, g]
+            sig = encode.unpack_int(int(mmer[s, g]), m)
+            kmer = encode.unpack_int(
+                encode.split_to_int(int(khi[s, g]), int(klo[s, g]), k), k
+            )
+            ids = rid[s, g : g + c]
+            order = np.argsort(stream[s, g : g + c], kind="stable")
+            out[(sig, kmer)] = list(map(int, ids[order][::-1]))
+    return out

@@ -1,0 +1,138 @@
+"""Multi-chip paths on the 8-device virtual CPU mesh.
+
+Same shard_map code runs on a real TPU slice; here we assert the
+distributed results equal the single-device ones exactly (deterministic
+sharding -- SURVEY.md section 4 item 3).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from genome_assembly_tpu.config import PipelineConfig
+from genome_assembly_tpu.io import datagen, reads as reads_io
+from genome_assembly_tpu.models.pipeline import ParityAssembler
+from genome_assembly_tpu.ops import encode
+from genome_assembly_tpu.parallel import halo, mesh as mesh_lib, shard_count
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return mesh_lib.make_mesh(8)
+
+
+def _batch(reads, max_len, pad_to):
+    (b,) = reads_io.batch_reads(reads, max_len)
+    return reads_io.pad_batch(b, pad_to)
+
+
+@pytest.mark.parametrize("parity", [True, False])
+def test_sharded_counts_equal_single_device(mesh8, parity):
+    k, m, cutoff = 11, 5, 1
+    genome, reads, _ = datagen.generate_coverage_reads(
+        genome_len=800, read_len=48, coverage=6, seed=2, with_reverse=not parity
+    )
+    b = _batch(reads, 64, 8 * ((len(reads) + 7) // 8))
+    sc = shard_count.sharded_count(
+        jnp.asarray(b.codes),
+        jnp.asarray(b.lengths),
+        jnp.asarray(b.read_ids),
+        k=k,
+        m=m,
+        parity=parity,
+        cutoff=cutoff,
+        mesh=mesh8,
+    )
+    assert int(np.sum(np.asarray(sc.overflow))) == 0
+    got = shard_count.sharded_to_host_dict(sc, k, m)
+
+    # single-device reference
+    from genome_assembly_tpu.ops import count as count_ops
+    from genome_assembly_tpu.ops import minimizer as minimizer_ops
+    from genome_assembly_tpu.parity import table as table_ops
+
+    scan = minimizer_ops.parity_scan if parity else minimizer_ops.fast_scan
+    recs = scan(jnp.asarray(b.codes), jnp.asarray(b.lengths), k=k, m=m)
+    counted = count_ops.count_and_prune(
+        recs, jnp.asarray(b.read_ids), cutoff=cutoff
+    )
+    host = table_ops.extract_groups(counted, pruned=True)
+    want = table_ops.decode_table(host, k, m)
+    if parity:
+        assert got == want
+    else:
+        # fast mode read-id list order inside equal-count groups can differ
+        # across routing; compare keys and counts
+        assert {kk: sorted(v) for kk, v in got.items()} == {
+            kk: sorted(v) for kk, v in want.items()
+        }
+
+
+def test_sharded_count_overflow_detection(mesh8):
+    """Tiny slack must trip the overflow counter, not silently drop."""
+    reads = ["A" * 48] * 64  # all identical minimizers -> one hot owner
+    b = _batch(reads, 64, 64)
+    sc = shard_count.sharded_count(
+        jnp.asarray(b.codes),
+        jnp.asarray(b.lengths),
+        jnp.asarray(b.read_ids),
+        k=11,
+        m=5,
+        parity=False,
+        cutoff=1,
+        mesh=mesh8,
+        slack=0.05,
+    )
+    assert int(np.sum(np.asarray(sc.overflow))) > 0
+
+
+def test_halo_exchange_covers_every_window(mesh8):
+    k = 11
+    rng = np.random.default_rng(4)
+    genome = "".join(rng.choice(list("ACGT"), size=1000))
+    codes = encode.encode_str(genome)
+    segments, lens = halo.split_sequence(codes, 8, k)
+    ext, ext_lens = halo.haloed_segments(
+        jnp.asarray(segments), jnp.asarray(lens), k=k, mesh=mesh8
+    )
+    ext = np.asarray(ext)
+    ext_lens = np.asarray(ext_lens)
+    # reassemble all windows scanned per shard; must equal the full
+    # sequence's window set exactly once each
+    windows = []
+    for s in range(8):
+        seg = ext[s, : ext_lens[s]]
+        for i in range(len(seg) - k + 1):
+            windows.append(encode.decode_str(seg[i : i + k]))
+    want = [genome[i : i + k] for i in range(len(genome) - k + 1)]
+    assert sorted(windows) == sorted(want)
+    assert len(windows) == len(want)
+
+
+def test_parity_pipeline_via_sharded_count(mesh8):
+    """Sharded counting feeds the same parity replay and still matches the
+    golden unitigs on input.txt."""
+    cfg = PipelineConfig(k=6, m=3, max_read_len=32, batch_reads=64)
+    asm = ParityAssembler(cfg)
+    reads = asm.load("/root/reference/input.txt")
+    b = _batch(reads, 32, 24)
+    sc = shard_count.sharded_count(
+        jnp.asarray(b.codes),
+        jnp.asarray(b.lengths),
+        jnp.asarray(b.read_ids),
+        k=6,
+        m=3,
+        parity=True,
+        cutoff=-1,  # keep everything: replay does its own pruning
+        mesh=mesh8,
+    )
+    assert int(np.sum(np.asarray(sc.overflow))) == 0
+    got = shard_count.sharded_to_host_dict(sc, 6, 3)
+    # pre-prune dict must match the single-device pre-prune table
+    from genome_assembly_tpu.parity import model
+
+    want_all = model.count_table(model.scan_reads(reads, 6, 3), -1)
+    assert got == want_all
