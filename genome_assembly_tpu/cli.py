@@ -1,0 +1,259 @@
+"""Command-line driver.
+
+The reference's CLI is ``./a.out <reads-file>`` -> unitigs on stdout with
+K/M/cutoff baked in at compile time (binning.c:10-13, 1147-1181).  Here all
+of it is runtime config, plus the subsystems the reference lacks: metrics,
+tracing, checkpoints, plots, a data generator, and mode selection.
+
+  python -m genome_assembly_tpu assemble reads.txt            # parity mode
+  python -m genome_assembly_tpu assemble reads.txt --mode fast --k 21 --m 7
+  python -m genome_assembly_tpu count reads.txt --checkpoint out.npz
+  python -m genome_assembly_tpu generate --genome-len 100000 --coverage 30
+  python -m genome_assembly_tpu bench-scaling --devices 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _add_pipeline_args(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--k", type=int, default=31, help="k-mer size (<=31)")
+    ap.add_argument("--m", type=int, default=4, help="minimizer size (<=15)")
+    ap.add_argument("--cutoff", type=int, default=1, help="abundance cutoff")
+    ap.add_argument(
+        "--mode",
+        choices=["parity", "fast"],
+        default="parity",
+        help="parity: bit-exact reference replication; fast: canonical TPU path",
+    )
+    ap.add_argument("--read-length", type=int, default=101,
+                    help="parity-mode fgets buffer size (reference READ_LENGTH)")
+    ap.add_argument("--max-read-len", type=int, default=128)
+    ap.add_argument("--batch-reads", type=int, default=16384)
+    ap.add_argument("--metrics", default=None, help="append JSONL metrics here")
+    ap.add_argument("--trace", default=None, help="capture a jax profiler trace")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+
+
+def _make_config(args):
+    from genome_assembly_tpu.config import PipelineConfig
+
+    return PipelineConfig(
+        k=args.k,
+        m=args.m,
+        abundance_cutoff=args.cutoff,
+        read_length=args.read_length,
+        parity=args.mode == "parity",
+        batch_reads=args.batch_reads,
+        max_read_len=args.max_read_len,
+    )
+
+
+def _setup_backend(args) -> None:
+    from genome_assembly_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def cmd_assemble(args) -> int:
+    from genome_assembly_tpu.models.pipeline import FastAssembler, ParityAssembler
+    from genome_assembly_tpu.utils.metrics import open_metrics
+    from genome_assembly_tpu.utils.profiling import maybe_trace
+
+    _setup_backend(args)
+    cfg = _make_config(args)
+    log = open_metrics(args.metrics, run_id=f"assemble-{int(time.time())}")
+    with maybe_trace(args.trace):
+        if cfg.parity:
+            asm = ParityAssembler(cfg)
+            reads = asm.load(args.reads_file)
+            with log.phase("assemble", mode="parity", k=cfg.k, m=cfg.m) as extra:
+                if args.verbose_output:
+                    text, stats = asm.assemble(reads, verbose=True)
+                    sys.stdout.write(text)
+                else:
+                    lines, stats = asm.assemble(reads)
+                    sys.stdout.write("\n".join(lines) + ("\n" if lines else ""))
+                extra["entries_pre_prune"] = stats.entries_pre_prune
+                extra["n_reads"] = stats.n_reads
+                extra["n_windows"] = stats.n_windows
+        else:
+            asm = FastAssembler(cfg)
+            reads = asm.load(args.reads_file)
+            with log.phase("assemble", mode="fast", k=cfg.k, m=cfg.m) as extra:
+                unitigs, stats = asm.unitigs(reads)
+                sys.stdout.write("\n".join(unitigs) + ("\n" if unitigs else ""))
+                extra["entries_post_prune"] = stats.entries_post_prune
+                extra["n_unitigs"] = stats.entries_post_extension
+                extra["n_windows"] = stats.n_windows
+    return 0
+
+
+def cmd_count(args) -> int:
+    """Count + prune only; optionally checkpoint the table."""
+    import numpy as np
+
+    from genome_assembly_tpu.models.pipeline import CountPipeline, FastAssembler, ParityAssembler
+    from genome_assembly_tpu.utils.checkpoint import save_counted_table
+    from genome_assembly_tpu.utils.metrics import open_metrics
+
+    _setup_backend(args)
+    cfg = _make_config(args)
+    log = open_metrics(args.metrics, run_id=f"count-{int(time.time())}")
+    loader = ParityAssembler(cfg) if cfg.parity else FastAssembler(cfg)
+    reads = loader.load(args.reads_file)
+    pipeline = CountPipeline(cfg)
+    with log.phase("count", k=cfg.k, m=cfg.m) as extra:
+        counted, stats = pipeline.count_reads(reads)
+        extra["n_reads"] = stats.n_reads
+        extra["n_windows"] = stats.n_windows
+        extra["entries_pre_prune"] = stats.entries_pre_prune
+        extra["entries_post_prune"] = stats.entries_post_prune
+    if args.checkpoint:
+        save_counted_table(args.checkpoint, counted, cfg, phase="post-count")
+        print(f"checkpoint written: {args.checkpoint}", file=sys.stderr)
+    print(
+        f"entries: {stats.entries_pre_prune} -> {stats.entries_post_prune} "
+        f"({stats.n_windows} windows from {stats.n_reads} reads)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from genome_assembly_tpu.io import datagen
+
+    if args.triangular:
+        genome, starts = datagen.generate_reads(
+            genome_len=args.genome_len,
+            read_len=args.read_len,
+            read_num=args.read_num,
+            seed=args.seed,
+        )
+        reads = datagen.reads_from_starts(genome, starts, args.read_len)
+    else:
+        genome, reads, starts = datagen.generate_coverage_reads(
+            genome_len=args.genome_len,
+            read_len=args.read_len,
+            coverage=args.coverage,
+            seed=args.seed,
+            error_rate=args.error_rate,
+            with_reverse=args.with_reverse,
+        )
+    datagen.write_reads(reads, args.out)
+    if args.genome_out:
+        with open(args.genome_out, "w") as f:
+            f.write(genome + "\n")
+    if args.plot:
+        from genome_assembly_tpu.utils.plots import plot_reads
+
+        plot_reads(starts, len(genome), args.read_len, args.plot)
+    print(f"{len(reads)} reads -> {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench_scaling(args) -> int:
+    """Shard-scaling benchmark on virtual CPU devices (or a real slice)."""
+    import os
+
+    if args.cpu_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
+    import json
+
+    import jax
+
+    if args.cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.parallel import mesh as mesh_lib, shard_count
+
+    rng = np.random.default_rng(0)
+    rows = args.batch_reads
+    codes = jnp.asarray(rng.integers(0, 4, size=(rows, 128), dtype=np.uint8))
+    lengths = jnp.full((rows,), 128, dtype=jnp.int32)
+    read_ids = jnp.arange(rows, dtype=jnp.uint32)
+    results = []
+    n = 1
+    while n <= min(args.devices, jax.device_count()):
+        mesh = mesh_lib.make_mesh(n)
+        t_best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sc = shard_count.sharded_count(
+                codes, lengths, read_ids, k=args.k, m=args.m,
+                parity=False, cutoff=1, mesh=mesh,
+            )
+            jax.block_until_ready(sc.count)
+            dt = time.perf_counter() - t0
+            t_best = dt if t_best is None else min(t_best, dt)
+        windows = rows * (128 - args.k + 1)
+        results.append({"shards": n, "wall_s": round(t_best, 4),
+                        "windows_per_s": round(windows / t_best, 1)})
+        n *= 2
+    base = results[0]["windows_per_s"]
+    for r in results:
+        r["scaling_eff"] = round(r["windows_per_s"] / (base * r["shards"]), 3)
+        print(json.dumps(r))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="genome_assembly_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("assemble", help="full pipeline -> unitigs on stdout")
+    a.add_argument("reads_file")
+    a.add_argument("--verbose-output", action="store_true",
+                   help="print_kmer_read_ids format (parity mode)")
+    _add_pipeline_args(a)
+    a.set_defaults(fn=cmd_assemble)
+
+    c = sub.add_parser("count", help="count+prune only, optional checkpoint")
+    c.add_argument("reads_file")
+    c.add_argument("--checkpoint", default=None)
+    _add_pipeline_args(c)
+    c.set_defaults(fn=cmd_count)
+
+    g = sub.add_parser("generate", help="synthetic read sets")
+    g.add_argument("--out", default="reads.txt")
+    g.add_argument("--genome-out", default=None)
+    g.add_argument("--genome-len", type=int, default=500)
+    g.add_argument("--read-len", type=int, default=30)
+    g.add_argument("--read-num", type=int, default=20)
+    g.add_argument("--coverage", type=float, default=10.0)
+    g.add_argument("--error-rate", type=float, default=0.0)
+    g.add_argument("--seed", type=int, default=20)
+    g.add_argument("--with-reverse", action="store_true")
+    g.add_argument("--triangular", action="store_true",
+                   help="reference-style triangular random walk positions")
+    g.add_argument("--plot", default=None, help="write read-coverage bitmap PNG")
+    g.set_defaults(fn=cmd_generate)
+
+    b = sub.add_parser("bench-scaling", help="shard-count scaling benchmark")
+    b.add_argument("--devices", type=int, default=8)
+    b.add_argument("--cpu-devices", action="store_true",
+                   help="simulate devices on CPU")
+    b.add_argument("--batch-reads", type=int, default=4096)
+    b.add_argument("--k", type=int, default=21)
+    b.add_argument("--m", type=int, default=7)
+    b.set_defaults(fn=cmd_bench_scaling)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

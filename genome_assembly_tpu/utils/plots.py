@@ -1,0 +1,76 @@
+"""Visual validation plots (SURVEY.md section 5.5, item 13).
+
+Continuity with the reference harness's human-in-the-loop validation
+(generate_reads.py:14-135): read-coverage bitmaps (reads.png), k-mers per
+m-mer bin bars (mmers.png), and unitig-vs-genome placement bitmaps
+(kmers.png).  Matplotlib is imported lazily so headless/metric-only runs
+never pay for it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    return plt
+
+
+def plot_reads(starts: Sequence[int], genome_len: int, read_len: int, path: str) -> None:
+    """Read-coverage bitmap, one row per read (reads.png equivalent)."""
+    import numpy as np
+
+    plt = _plt()
+    matrix = np.zeros((len(starts), genome_len), dtype=int)
+    for i, s in enumerate(starts):
+        matrix[i, s : s + read_len] = 1
+    plt.figure(figsize=(20, 10))
+    plt.imshow(matrix, interpolation="nearest", cmap="gray_r", aspect="auto")
+    plt.xlabel("genome position")
+    plt.ylabel("read")
+    plt.savefig(path)
+    plt.close()
+
+
+def plot_mmer_bins(bin_counts: Dict[str, int], path: str) -> None:
+    """k-mers per m-mer bin (mmers.png equivalent)."""
+    plt = _plt()
+    names = list(bin_counts)
+    plt.figure(figsize=(max(6, len(names) * 0.3), 4))
+    plt.bar(range(len(names)), [bin_counts[n] for n in names], align="center")
+    plt.xticks(range(len(names)), names, rotation="vertical", fontsize=8)
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close()
+
+
+def plot_unitig_placement(
+    unitigs: Sequence[str], genome: str, path: str
+) -> None:
+    """Unitig-vs-genome placement bitmap (kmers.png equivalent).
+
+    Each unitig row marks the genome positions it aligns to (exact match on
+    either strand; unplaced unitigs get an empty row).
+    """
+    import numpy as np
+
+    plt = _plt()
+    comp = str.maketrans("ACGT", "TGCA")
+    matrix = np.zeros((len(unitigs), len(genome)), dtype=int)
+    for i, u in enumerate(unitigs):
+        pos = genome.find(u)
+        if pos < 0:
+            pos = genome.find(u.translate(comp)[::-1])
+        if pos >= 0:
+            matrix[i, pos : pos + len(u)] = 1
+    plt.figure(figsize=(20, 10))
+    plt.imshow(matrix, interpolation="nearest", cmap="gray_r", aspect="auto")
+    plt.xlabel("genome position")
+    plt.ylabel("unitig")
+    plt.savefig(path)
+    plt.close()
