@@ -1,9 +1,17 @@
 """Headline benchmark: canonical k-mers counted per second on one chip.
 
 Measures the fast-mode device pipeline (canonical minimizer scan +
-sort-based count + prune) in steady state on synthetic 100-bp reads --
-the same work the reference's ingest+count phase does at ~1.25M windows/s
-on one Xeon core (BASELINE.md, measured on big.txt with gcc -O2).
+payload-free sort-based count + prune) in steady state on synthetic 100-bp
+read batches -- the same work the reference's ingest+count phase does at
+~1.25M windows/s on one Xeon core (BASELINE.md, big.txt, gcc -O2).
+
+Methodology notes:
+- The whole measured loop runs inside ONE jitted fori_loop and ends in a
+  scalar that the host reads back: on relayed/tunneled TPU backends,
+  ``block_until_ready`` alone does not guarantee execution completed, so
+  per-dispatch timing wildly underestimates cost.  The readback forces it.
+- Each iteration perturbs the input (xor with the loop index) so no level
+  of the stack can cache a previous iteration's result.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -33,7 +41,7 @@ def main() -> None:
     from genome_assembly_tpu.ops import minimizer
 
     K, M, CUTOFF = 31, 7, 1
-    BATCH, LEN = 4096, 128
+    BATCH, LEN = 16384, 128
     n_windows = BATCH * (LEN - K + 1)
 
     dev = jax.devices()[0]
@@ -42,28 +50,31 @@ def main() -> None:
         jnp.asarray(rng.integers(0, 4, size=(BATCH, LEN), dtype=np.uint8)), dev
     )
     lengths = jax.device_put(jnp.full((BATCH,), LEN, dtype=jnp.int32), dev)
-    read_ids = jax.device_put(jnp.arange(BATCH, dtype=jnp.uint32), dev)
 
     @jax.jit
-    def step(codes, lengths, read_ids):
-        recs = minimizer.fast_scan(codes, lengths, k=K, m=M)
-        counted = count_ops.count_and_prune(recs, read_ids, cutoff=CUTOFF)
-        return counted.n_kept
+    def bench_loop(codes, lengths, iters):
+        def body(i, acc):
+            # perturb input per iteration to defeat any result caching
+            c = codes ^ (i.astype(jnp.uint8) & 3)
+            recs = minimizer.fast_scan(c, lengths, k=K, m=M)
+            kc = count_ops.count_keys(recs, cutoff=CUTOFF)
+            return acc + jnp.sum(kc.keep).astype(jnp.uint32)
+        return jax.lax.fori_loop(0, iters, body, jnp.uint32(0))
 
-    # compile + warm up
-    step(codes, lengths, read_ids).block_until_ready()
-    t0 = time.perf_counter()
-    step(codes, lengths, read_ids).block_until_ready()
-    single = time.perf_counter() - t0
-    # pick an iteration count for ~3s of steady-state measurement
-    iters = max(3, min(100, int(3.0 / max(single, 1e-4))))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(codes, lengths, read_ids)
-    out.block_until_ready()
-    wall = time.perf_counter() - t0
+    def timed(iters: int) -> float:
+        t0 = time.perf_counter()
+        float(bench_loop(codes, lengths, iters))  # readback = hard sync
+        return time.perf_counter() - t0
 
-    windows_per_s = n_windows * iters / wall
+    timed(1)  # compile + warm
+    lo_iters, hi_iters = 4, 20
+    d_lo = timed(lo_iters)
+    d_hi = timed(hi_iters)
+    per_iter = (d_hi - d_lo) / (hi_iters - lo_iters)
+    if per_iter <= 0:  # timing noise fallback: amortize a single long run
+        per_iter = timed(50) / 50
+
+    windows_per_s = n_windows / per_iter
     print(
         json.dumps(
             {

@@ -111,12 +111,39 @@ class FastAssembler:
         return reads_io.load_reads_fast(path)
 
     def unitigs(self, reads: Sequence[str]) -> Tuple[List[str], PhaseStats]:
-        from genome_assembly_tpu.ops import count as count_ops_mod
         from genome_assembly_tpu.ops import dbg
+        from genome_assembly_tpu.ops import minimizer as minimizer_ops
 
         cfg = self.config
-        counted, stats = self.counter.count_reads(reads)
-        khi, klo, valid = _kept_sorted_keys(counted)
+        stats = PhaseStats(n_reads=len(reads))
+        batches = reads_io.batch_reads(
+            reads, cfg.max_read_len, cfg.batch_reads
+        )
+        if not batches:
+            raise ValueError("no reads")
+        if len(batches) > 1:
+            batches[-1] = reads_io.pad_batch(batches[-1], cfg.batch_reads)
+        # Fast mode carries no per-occurrence payload: flatten all batches'
+        # key lanes and count with the cheap two-lane sort.
+        his, los, valids = [], [], []
+        for b in batches:
+            recs = minimizer_ops.fast_scan(
+                jnp.asarray(b.codes), jnp.asarray(b.lengths), k=cfg.k, m=cfg.m
+            )
+            his.append(recs.kmer_hi.reshape(-1))
+            los.append(recs.kmer_lo.reshape(-1))
+            valids.append(recs.valid.reshape(-1))
+            stats.n_windows += int(jnp.sum(recs.valid))
+        combined = minimizer_ops.WindowRecords(
+            mmer=jnp.zeros((0,), jnp.uint32),
+            kmer_hi=jnp.concatenate(his),
+            kmer_lo=jnp.concatenate(los),
+            valid=jnp.concatenate(valids),
+        )
+        kc = count_ops.count_keys(combined, cutoff=cfg.abundance_cutoff)
+        stats.entries_pre_prune = int(jnp.sum(kc.group_start & kc.valid))
+        stats.entries_post_prune = int(jnp.sum(kc.keep))
+        khi, klo, valid = count_ops.kept_keys_sorted(kc)
         links = dbg.build_unitig_links(khi, klo, valid, k=cfg.k)
         graph = dbg.pointer_jump(links)
         out = dbg.materialize_unitigs(

@@ -32,6 +32,29 @@ from genome_assembly_tpu.ops.minimizer import WindowRecords
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
+def group_counts(group_start: jnp.ndarray) -> jnp.ndarray:
+    """Group sizes broadcast to every member, scatter-free.
+
+    TPU scatters serialize, so segment_sum is a poor fit; instead the size
+    of each run is (next run start - own run start), both computed with
+    associative scans and a gather:
+      start_idx[i] = index of i's group start  (forward cummax)
+      next_start[i] = first group start strictly after i  (reverse cummin)
+    """
+    n = group_start.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    start_idx = lax.associative_scan(
+        jnp.maximum, jnp.where(group_start, idx, -1)
+    )
+    starts_or_n = jnp.where(group_start, idx, n)
+    suffix_min = lax.associative_scan(jnp.minimum, starts_or_n, reverse=True)
+    next_start = jnp.concatenate(
+        [suffix_min[1:], jnp.full((1,), n, jnp.int32)]
+    )
+    count_at_start = next_start - idx
+    return count_at_start[start_idx]
+
+
 class CountedTable(NamedTuple):
     """Sorted, counted, pruned k-mer table (still padded to N records).
 
@@ -111,12 +134,7 @@ def count_and_prune(
         ]
     )
     group_start = ~prev_same
-    group_id = jnp.cumsum(group_start.astype(jnp.int32)) - 1
-
-    ones = valid_s.astype(jnp.int32)
-    group_sizes = jax.ops.segment_sum(ones, group_id, num_segments=n)
-    count = group_sizes[group_id]
-
+    count = group_counts(group_start)
     keep = group_start & valid_s & (count > cutoff)
     return CountedTable(
         mmer=mmer_s,
@@ -129,6 +147,63 @@ def count_and_prune(
         count=count,
         keep=keep,
     )
+
+
+class KeyCounts(NamedTuple):
+    """Payload-free counted keys (fast mode): sorted by (hi, lo).
+
+    kept keys are the pruned canonical k-mer set, already in the order the
+    dBG lookup phase needs.
+    """
+
+    kmer_hi: jnp.ndarray
+    kmer_lo: jnp.ndarray
+    valid: jnp.ndarray  # real (non-sentinel) rows
+    group_start: jnp.ndarray
+    count: jnp.ndarray
+    keep: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff",))
+def count_keys(records: WindowRecords, *, cutoff: int) -> KeyCounts:
+    """Count canonical k-mers without carrying read-id/stream payloads.
+
+    The fast pipeline needs only (distinct kmer, count): sorting two uint32
+    key lanes is ~3x cheaper than the payload-carrying sort the parity path
+    requires, and the sorted kept keys feed ops/dbg.py directly.
+    """
+    n = records.kmer_hi.size
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    hi = jnp.where(records.valid, records.kmer_hi, sentinel).reshape(n)
+    lo = jnp.where(records.valid, records.kmer_lo, sentinel).reshape(n)
+    hi_s, lo_s = lax.sort((hi, lo), num_keys=2)
+    valid = hi_s != sentinel
+    prev_same = jnp.concatenate(
+        [
+            jnp.zeros((1,), dtype=bool),
+            (hi_s[1:] == hi_s[:-1]) & (lo_s[1:] == lo_s[:-1]),
+        ]
+    )
+    group_start = ~prev_same
+    count = group_counts(group_start)
+    keep = group_start & valid & (count > cutoff)
+    return KeyCounts(hi_s, lo_s, valid, group_start, count, keep)
+
+
+@jax.jit
+def kept_keys_sorted(kc: KeyCounts):
+    """Compact kept group-start keys to the front (sorted by key already).
+
+    Returns (hi, lo, valid) shaped like the input, sentinel-padded -- the
+    exact input format ops/dbg.py expects.
+    """
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    hi = jnp.where(kc.keep, kc.kmer_hi, sentinel)
+    lo = jnp.where(kc.keep, kc.kmer_lo, sentinel)
+    # stable compaction: sort by (is-sentinel) flag preserves key order
+    flag = (~kc.keep).astype(jnp.uint32)
+    _, hi_c, lo_c = lax.sort((flag, hi, lo), num_keys=1, is_stable=True)
+    return hi_c, lo_c, hi_c != sentinel
 
 
 def merge_sorted_tables(tables: list[CountedTable], *, cutoff: int) -> CountedTable:
@@ -161,11 +236,7 @@ def merge_sorted_tables(tables: list[CountedTable], *, cutoff: int) -> CountedTa
         ]
     )
     group_start = ~prev_same
-    group_id = jnp.cumsum(group_start.astype(jnp.int32)) - 1
-    group_sizes = jax.ops.segment_sum(
-        valid_s.astype(jnp.int32), group_id, num_segments=n
-    )
-    count = group_sizes[group_id]
+    count = group_counts(group_start)
     keep = group_start & valid_s & (count > cutoff)
     return CountedTable(
         mmer_s, khi_s, klo_s, rid_s, stream_s, valid_s, group_start, count, keep

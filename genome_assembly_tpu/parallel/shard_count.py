@@ -36,7 +36,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from genome_assembly_tpu.ops import minimizer as minimizer_ops
-from genome_assembly_tpu.ops.count import SENTINEL
+from genome_assembly_tpu.ops.count import SENTINEL, group_counts
 
 SHARD_AXIS = "shards"
 
@@ -141,9 +141,7 @@ def _scan_and_route(
         ]
     )
     group_start = ~prev_same
-    group_id = jnp.cumsum(group_start.astype(jnp.int32)) - 1
-    sizes = jax.ops.segment_sum(v_s.astype(jnp.int32), group_id, num_segments=total)
-    count = sizes[group_id]
+    count = group_counts(group_start)
     return (
         m_s[None],
         hi_s[None],
