@@ -159,6 +159,24 @@ def batch_reads(
     return batches
 
 
+def chunk_long_sequence(seq: str, chunk_len: int, k: int) -> List[str]:
+    """Split a long sequence into chunks overlapping by k-1 bases.
+
+    Every k-window of the original sequence appears in exactly one chunk
+    (the one owning its start position) -- the single-device analogue of
+    the distributed halo exchange (parallel/halo.py).
+    """
+    if chunk_len < k:
+        raise ValueError(f"chunk_len {chunk_len} must be >= k {k}")
+    step = chunk_len - (k - 1)
+    out = []
+    for start in range(0, max(len(seq) - (k - 1), 1), step):
+        chunk = seq[start : start + chunk_len]
+        if len(chunk) >= k or start == 0:
+            out.append(chunk)
+    return out
+
+
 def pad_batch(batch: ReadBatch, to_n: int) -> ReadBatch:
     """Pad a batch with empty reads up to ``to_n`` rows (static shapes)."""
     n = batch.n

@@ -110,6 +110,26 @@ class FastAssembler:
     def load(self, path: str) -> List[str]:
         return reads_io.load_reads_fast(path)
 
+    def unitigs_from_sequences(
+        self, sequences: Sequence[str]
+    ) -> Tuple[List[str], PhaseStats]:
+        """Assemble from arbitrarily long sequences (contigs, genomes).
+
+        Sequences longer than max_read_len are split into k-1-overlapping
+        chunks so every window is scanned exactly once (the single-device
+        analogue of parallel/halo.py's exchange).
+        """
+        cfg = self.config
+        chunks: List[str] = []
+        for s in sequences:
+            if len(s) <= cfg.max_read_len:
+                chunks.append(s)
+            else:
+                chunks.extend(
+                    reads_io.chunk_long_sequence(s, cfg.max_read_len, cfg.k)
+                )
+        return self.unitigs(chunks)
+
     def unitigs(self, reads: Sequence[str]) -> Tuple[List[str], PhaseStats]:
         from genome_assembly_tpu.ops import dbg
         from genome_assembly_tpu.ops import minimizer as minimizer_ops

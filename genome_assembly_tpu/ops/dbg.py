@@ -50,8 +50,10 @@ def searchsorted2(
     """
     n = hi.shape[0]
     steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
-    lo_b = jnp.zeros(qhi.shape, dtype=jnp.int32)
-    hi_b = jnp.full(qhi.shape, n, dtype=jnp.int32)
+    # derive the search-bound inits from the queries so their varying-axis
+    # type matches the loop carry under shard_map
+    lo_b = (qhi * 0).astype(jnp.int32)
+    hi_b = lo_b + n
 
     def body(_, carry):
         lo_b, hi_b = carry

@@ -49,6 +49,39 @@ def plot_mmer_bins(bin_counts: Dict[str, int], path: str) -> None:
     plt.close()
 
 
+def parse_verbose_output(text: str):
+    """Parse print_kmer_read_ids-format output (the format the reference
+    harness's plot_unitigs consumes, generate_reads.py:24-62).
+
+    Returns (bin_counts, unitigs): k-mers per m-mer bin, and per unitig a
+    (key, per-bp read-id lists) pair.
+    """
+    bin_counts: Dict[str, int] = {}
+    unitigs = []
+    lines = text.splitlines()
+    i = 0
+    mmer = ""
+    while i < len(lines):
+        if not lines[i]:
+            mmer = ""
+            i += 1
+            continue
+        if not mmer:
+            mmer = lines[i]
+            bin_counts.setdefault(mmer, 0)
+            i += 1
+            continue
+        key = lines[i]
+        bin_counts[mmer] += 1
+        i += 1
+        per_bp = []
+        for _ in range(len(key)):
+            per_bp.append([int(x) for x in lines[i].split()])
+            i += 1
+        unitigs.append((key, per_bp))
+    return bin_counts, unitigs
+
+
 def plot_unitig_placement(
     unitigs: Sequence[str], genome: str, path: str
 ) -> None:

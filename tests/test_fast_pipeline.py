@@ -51,6 +51,26 @@ def test_fast_pipeline_reconstructs_clean_genome():
     assert len(longest) > 0.5 * len(genome)
 
 
+def test_long_sequence_chunking_equals_whole_genome_kmers():
+    """A 5kb 'genome' fed as one long sequence must produce exactly the
+    unitigs of its k-mer set (every window scanned once via chunking)."""
+    rng = np.random.default_rng(21)
+    genome = "".join(rng.choice(list("ACGT"), size=5000))
+    k = 15
+    cfg = PipelineConfig(
+        k=k, m=7, parity=False, abundance_cutoff=0,
+        max_read_len=128, batch_reads=256,
+    )
+    unitigs, stats = FastAssembler(cfg).unitigs_from_sequences([genome])
+    assert stats.n_windows == len(genome) - k + 1
+    got_kmers = set()
+    for u in unitigs:
+        for x in genome_kmers(u, k):
+            got_kmers.add(canon(x))
+    want = {canon(x) for x in genome_kmers(genome, k)}
+    assert got_kmers == want
+
+
 def test_fast_pipeline_strand_invariance():
     """Reversing every read must not change the unitig set."""
     genome, reads, _ = datagen.generate_coverage_reads(

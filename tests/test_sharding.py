@@ -112,6 +112,49 @@ def test_halo_exchange_covers_every_window(mesh8):
     assert len(windows) == len(want)
 
 
+def test_sharded_dbg_matches_single_device(mesh8):
+    """Sharded link building + pointer jumping == single-device results."""
+    from genome_assembly_tpu.ops import dbg, encode
+    from genome_assembly_tpu.parallel import shard_dbg
+
+    k = 11
+    rng = np.random.default_rng(6)
+    genome = "".join(rng.choice(list("ACGT"), size=600))
+    keys = sorted(
+        {
+            min(
+                encode.pack_str(genome[i : i + k]),
+                encode.pack_str(
+                    genome[i : i + k].translate(str.maketrans("ACGT", "TGCA"))[::-1]
+                ),
+            )
+            for i in range(len(genome) - k + 1)
+        }
+    )
+    pad = 1024
+    n_lo = min(k, 16)
+    hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros(pad, dtype=bool)
+    for i, v in enumerate(keys):
+        hi[i] = v >> (2 * n_lo)
+        lo[i] = v & ((1 << (2 * n_lo)) - 1)
+        valid[i] = True
+    hi, lo, valid = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid)
+
+    want_links = dbg.build_unitig_links(hi, lo, valid, k=k)
+    got_links = shard_dbg.sharded_unitig_links(hi, lo, valid, k=k, mesh=mesh8)
+    assert np.array_equal(np.asarray(got_links), np.asarray(want_links))
+
+    want_graph = dbg.pointer_jump(want_links)
+    got_graph = shard_dbg.sharded_pointer_jump(got_links, mesh=mesh8)
+    assert np.array_equal(np.asarray(got_graph.head), np.asarray(want_graph.head))
+    assert np.array_equal(np.asarray(got_graph.rank), np.asarray(want_graph.rank))
+    assert np.array_equal(
+        np.asarray(got_graph.is_cycle), np.asarray(want_graph.is_cycle)
+    )
+
+
 def test_parity_pipeline_via_sharded_count(mesh8):
     """Sharded counting feeds the same parity replay and still matches the
     golden unitigs on input.txt."""

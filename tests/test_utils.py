@@ -50,6 +50,13 @@ def test_metrics_jsonl(tmp_path):
 
 
 def test_cli_parity_matches_golden(tmp_path):
+    import os
+
+    env = dict(os.environ)
+    # hermetic: keep the subprocess off the TPU relay (this image's
+    # sitecustomize on PYTHONPATH pins the axon backend at startup)
+    env["PYTHONPATH"] = str(REPO)
+    env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [
             sys.executable,
@@ -70,6 +77,7 @@ def test_cli_parity_matches_golden(tmp_path):
         capture_output=True,
         text=True,
         cwd=REPO,
+        env=env,
         timeout=300,
     )
     assert out.returncode == 0, out.stderr[-2000:]
@@ -77,6 +85,88 @@ def test_cli_parity_matches_golden(tmp_path):
     assert out.stdout == golden
     recs = [json.loads(l) for l in (tmp_path / "m.jsonl").read_text().splitlines()]
     assert recs[0]["event"] == "assemble"
+
+
+def test_resumable_counting_matches_direct(tmp_path):
+    """Elasticity: per-batch tables checkpoint + reload + merge == direct.
+
+    Models host-failure recovery (SURVEY.md 5.3): a restarted job re-counts
+    only batches whose checkpoints are missing, then merges idempotently.
+    """
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.io import datagen, reads as reads_io
+    from genome_assembly_tpu.ops import count as count_ops
+    from genome_assembly_tpu.ops import minimizer
+    from genome_assembly_tpu.parity import table as table_ops
+
+    k, m, cutoff = 6, 3, 1
+    _, reads, _ = datagen.generate_coverage_reads(500, 32, 6, seed=1)
+    cfg = PipelineConfig(k=k, m=m, max_read_len=32, batch_reads=16)
+    n_win = cfg.max_read_len - k + 1
+
+    # direct
+    direct, _ = CountPipeline(cfg).count_reads(reads)
+    host = table_ops.extract_groups(direct, pruned=True)
+    want = table_ops.decode_table(host, k, m)
+
+    # per-batch with checkpoint round trip
+    batches = reads_io.batch_reads(reads, cfg.max_read_len, cfg.batch_reads)
+    batches[-1] = reads_io.pad_batch(batches[-1], cfg.batch_reads)
+    restored = []
+    for bi, b in enumerate(batches):
+        recs = minimizer.parity_scan(
+            jnp.asarray(b.codes), jnp.asarray(b.lengths), k=k, m=m
+        )
+        part = count_ops.count_and_prune(
+            recs,
+            jnp.asarray(b.read_ids),
+            cutoff=-1,
+            stream_offset=bi * cfg.batch_reads * n_win,
+        )
+        path = tmp_path / f"batch{bi}.npz"
+        ckpt.save_counted_table(str(path), part, cfg, phase=f"batch-{bi}")
+        loaded, _, _ = ckpt.load_counted_table(str(path))
+        restored.append(
+            count_ops.CountedTable(
+                *[jnp.asarray(getattr(loaded, f)) for f in loaded._fields]
+            )
+        )
+    merged = count_ops.merge_sorted_tables(restored, cutoff=cutoff)
+    got = table_ops.decode_table(
+        table_ops.extract_groups(merged, pruned=True), k, m
+    )
+    assert got == want
+
+
+def test_determinism_same_input_same_output():
+    """Race-detection stand-in (SURVEY.md 5.2): identical inputs produce
+    bit-identical device outputs across runs and batch splits."""
+    from genome_assembly_tpu.io import datagen
+    from genome_assembly_tpu.models.pipeline import FastAssembler
+
+    _, reads, _ = datagen.generate_coverage_reads(400, 40, 6, seed=9)
+    cfg = PipelineConfig(k=11, m=5, parity=False, max_read_len=64, batch_reads=64)
+    u1, s1 = FastAssembler(cfg).unitigs(reads)
+    u2, s2 = FastAssembler(cfg).unitigs(reads)
+    assert u1 == u2
+    cfg_split = PipelineConfig(
+        k=11, m=5, parity=False, max_read_len=64, batch_reads=16
+    )
+    u3, _ = FastAssembler(cfg_split).unitigs(reads)
+    assert sorted(u1) == sorted(u3)
+
+
+def test_parse_verbose_output_roundtrip():
+    from genome_assembly_tpu.utils.plots import parse_verbose_output
+
+    text = (REPO / "tests/golden/input_k6m3_verbose.txt").read_text()
+    bin_counts, unitigs = parse_verbose_output(text)
+    assert sum(bin_counts.values()) == 61  # post-extension entries
+    for key, per_bp in unitigs:
+        assert len(per_bp) == len(key)
+        for ids in per_bp:
+            assert ids == sorted(ids, reverse=True) or ids == sorted(ids)
 
 
 def test_plots_render(tmp_path):
