@@ -153,14 +153,15 @@ class KeyCounts(NamedTuple):
     """Payload-free counted keys (fast mode): sorted by (hi, lo).
 
     kept keys are the pruned canonical k-mer set, already in the order the
-    dBG lookup phase needs.
+    dBG lookup phase needs.  Full per-group counts are not materialized on
+    this path (the abundance test needs only a shifted equality, below);
+    use ``key_group_counts`` when actual counts are wanted.
     """
 
     kmer_hi: jnp.ndarray
     kmer_lo: jnp.ndarray
     valid: jnp.ndarray  # real (non-sentinel) rows
     group_start: jnp.ndarray
-    count: jnp.ndarray
     keep: jnp.ndarray
 
 
@@ -168,9 +169,13 @@ class KeyCounts(NamedTuple):
 def count_keys(records: WindowRecords, *, cutoff: int) -> KeyCounts:
     """Count canonical k-mers without carrying read-id/stream payloads.
 
-    The fast pipeline needs only (distinct kmer, count): sorting two uint32
-    key lanes is ~3x cheaper than the payload-carrying sort the parity path
-    requires, and the sorted kept keys feed ops/dbg.py directly.
+    The fast pipeline needs only the distinct pruned keys: sorting two
+    uint32 key lanes is ~3x cheaper than the payload-carrying sort the
+    parity path requires, and the sorted kept keys feed ops/dbg.py
+    directly.  The abundance test itself is scan-free: a sorted run has
+    length > cutoff iff the element ``cutoff`` positions ahead still equals
+    the run head -- one shifted comparison instead of segmented counting
+    (which cost ~4x the sort itself in associative scans and gathers).
     """
     n = records.kmer_hi.size
     sentinel = jnp.uint32(0xFFFFFFFF)
@@ -185,9 +190,21 @@ def count_keys(records: WindowRecords, *, cutoff: int) -> KeyCounts:
         ]
     )
     group_start = ~prev_same
-    count = group_counts(group_start)
-    keep = group_start & valid & (count > cutoff)
-    return KeyCounts(hi_s, lo_s, valid, group_start, count, keep)
+    if cutoff <= 0:
+        long_enough = jnp.ones_like(group_start)
+    else:
+        # run length > cutoff  <=>  key[i + cutoff] == key[i]
+        pad_hi = jnp.full((cutoff,), sentinel, dtype=jnp.uint32)
+        hi_ahead = jnp.concatenate([hi_s[cutoff:], pad_hi])
+        lo_ahead = jnp.concatenate([lo_s[cutoff:], pad_hi])
+        long_enough = (hi_ahead == hi_s) & (lo_ahead == lo_s) & valid
+    keep = group_start & valid & long_enough
+    return KeyCounts(hi_s, lo_s, valid, group_start, keep)
+
+
+def key_group_counts(kc: KeyCounts) -> jnp.ndarray:
+    """Per-record group sizes for a KeyCounts (when counts are needed)."""
+    return group_counts(kc.group_start)
 
 
 @jax.jit

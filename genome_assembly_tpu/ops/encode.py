@@ -71,11 +71,105 @@ def windowed_scores(codes: jnp.ndarray, n: int) -> jnp.ndarray:
     return acc
 
 
+def _doubling_packs(codes: jnp.ndarray, max_span: int) -> dict:
+    """Windowed packed values for power-of-two window sizes.
+
+    packs[s][..., i] = 2-bit pack of codes[i : i + s] for s = 1, 2, 4, ...
+    up to the largest power of two <= min(max_span, 16) (16 bases fill a
+    uint32).  Each level combines two half-windows with one shift+or --
+    log-depth instead of the naive O(k) chain, and the [.., L] arrays reuse
+    each other so XLA fuses the whole pyramid.
+    """
+    length = codes.shape[-1]
+    packs = {1: codes.astype(jnp.uint32)}
+    s = 1
+    while 2 * s <= min(max_span, 16):
+        half = packs[s]
+        n = length - 2 * s + 1
+        packs[2 * s] = (half[..., :n] << (2 * s)) | half[..., s : s + n]
+        s *= 2
+    return packs
+
+
+def _windowed_pack(packs: dict, n: int, nwin: int) -> jnp.ndarray:
+    """Length-``n`` windowed pack (n <= 16) from the doubling pyramid."""
+    acc = None
+    offset = 0
+    for s in sorted(packs, reverse=True):
+        if s & n:
+            piece = packs[s][..., offset : offset + nwin]
+            acc = piece if acc is None else (acc << (2 * s)) | piece
+            offset += s
+    return acc if acc is not None else jnp.zeros_like(packs[1][..., :nwin])
+
+
+def _doubling_rc_packs(codes: jnp.ndarray, max_span: int) -> dict:
+    """Reverse-complement analogue of _doubling_packs.
+
+    rcpacks[s][..., i] = 2-bit pack of reverse_complement(codes[i : i + s]).
+    Combine rule: rc(A+B) = rc(B)+rc(A), so each level swaps the halves.
+    """
+    length = codes.shape[-1]
+    packs = {1: (3 - codes.astype(jnp.int32)).astype(jnp.uint32)}
+    s = 1
+    while 2 * s <= min(max_span, 16):
+        half = packs[s]
+        n = length - 2 * s + 1
+        packs[2 * s] = (half[..., s : s + n] << (2 * s)) | half[..., :n]
+        s *= 2
+    return packs
+
+
+def _windowed_rc_pack(rcpacks: dict, n: int, nwin: int) -> jnp.ndarray:
+    """Length-``n`` windowed reverse-complement pack from the rc pyramid.
+
+    Pieces at increasing offsets land at increasingly significant bits
+    (rc reverses piece order)."""
+    acc = None
+    offset = 0
+    len_acc = 0
+    for s in sorted(rcpacks, reverse=True):
+        if s & n:
+            piece = rcpacks[s][..., offset : offset + nwin]
+            acc = piece if acc is None else (piece << (2 * len_acc)) | acc
+            offset += s
+            len_acc += s
+    return acc if acc is not None else jnp.zeros_like(rcpacks[1][..., :nwin])
+
+
+def pack_kmers_both(
+    codes: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(hi, lo, rc_hi, rc_lo) for every k-window, from shared pyramids.
+
+    rc lanes hold the true reverse complement of each window:
+      rc(w)[0:n_hi] = rc(w[k-n_hi:]),  rc(w)[n_hi:] = rc(w[0:n_lo]).
+    """
+    length = codes.shape[-1]
+    nwin = length - k + 1
+    n_lo = min(k, 16)
+    n_hi = k - n_lo
+    packs = _doubling_packs(codes, max(n_lo, n_hi, 1))
+    rcpacks = _doubling_rc_packs(codes, max(n_lo, n_hi, 1))
+    if n_hi:
+        hi = _windowed_pack(packs, n_hi, nwin)
+        lo = _windowed_pack(packs, n_lo, length - n_lo + 1)[..., n_hi : n_hi + nwin]
+        rhi = _windowed_rc_pack(rcpacks, n_hi, length - n_hi + 1)[..., n_lo : n_lo + nwin]
+        rlo = _windowed_rc_pack(rcpacks, n_lo, nwin)
+    else:
+        hi = jnp.zeros(codes.shape[:-1] + (nwin,), dtype=jnp.uint32)
+        lo = _windowed_pack(packs, n_lo, nwin)
+        rhi = hi
+        rlo = _windowed_rc_pack(rcpacks, n_lo, nwin)
+    return hi, lo, rhi, rlo
+
+
 def pack_kmers(codes: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pack every length-``k`` window into (hi, lo) uint32 lanes, MSB-first.
 
     hi holds the first ``k - n_lo`` bases, lo the final ``n_lo = min(k, 16)``
-    bases.  Shapes: [..., L] -> two arrays [..., L - k + 1].
+    bases.  Shapes: [..., L] -> two arrays [..., L - k + 1].  Built from a
+    shared doubling pyramid: O(log k) combine steps instead of O(k).
     """
     if k > 31:
         raise ValueError(f"pack_kmers supports k <= 31, got {k}")
@@ -85,13 +179,14 @@ def pack_kmers(codes: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
         raise ValueError(f"k={k} longer than sequence {length}")
     n_lo = min(k, 16)
     n_hi = k - n_lo
-    u32 = codes.astype(jnp.uint32)
-    hi = jnp.zeros(codes.shape[:-1] + (nwin,), dtype=jnp.uint32)
-    for j in range(n_hi):
-        hi = (hi << 2) | u32[..., j : j + nwin]
-    lo = jnp.zeros(codes.shape[:-1] + (nwin,), dtype=jnp.uint32)
-    for j in range(n_hi, k):
-        lo = (lo << 2) | u32[..., j : j + nwin]
+    packs = _doubling_packs(codes, max(n_lo, n_hi, 1))
+    if n_hi:
+        hi = _windowed_pack(packs, n_hi, nwin)
+        lo_full = _windowed_pack(packs, n_lo, length - n_lo + 1)
+        lo = lo_full[..., n_hi : n_hi + nwin]
+    else:
+        hi = jnp.zeros(codes.shape[:-1] + (nwin,), dtype=jnp.uint32)
+        lo = _windowed_pack(packs, n_lo, nwin)
     return hi, lo
 
 

@@ -118,21 +118,37 @@ def fast_scan(
     batch, max_len = codes.shape
     n_win = max_len - k + 1
 
-    fwd = encode.windowed_scores(codes, m)
+    # m-mer scores and their true reverse complements from shared doubling
+    # pyramids (O(log m) combines, fused by XLA).
+    mpacks = encode._doubling_packs(codes, m)
+    mrcpacks = encode._doubling_rc_packs(codes, m)
+    n_mpos = max_len - m + 1
+    fwd = encode._windowed_pack(mpacks, m, n_mpos)
+    rc_m = encode._windowed_rc_pack(mrcpacks, m, n_mpos)
     # strand-symmetric m-mer key: min(mmer, true reverse complement), so a
     # k-mer and its RC always produce the same minimizer (and therefore the
     # same shard) -- unlike the reference's complement-without-reversal.
-    canon_m = jnp.minimum(fwd, encode.reverse_complement_u32(fwd, m))
+    canon_m = jnp.minimum(fwd, rc_m)
 
-    # Windowed min over the k - m + 1 m-mer positions of each window:
-    # unrolled shift-min (k, m static; wwin = k - m + 1 lanes of work).
+    # Windowed min over the k - m + 1 m-mer positions of each window via a
+    # sparse table (doubling): O(log wwin) minimum ops instead of O(wwin),
+    # final window = min of two overlapping power-of-two spans.
     wwin = k - m + 1
-    wmin = canon_m[:, :n_win]
-    for j in range(1, wwin):
-        wmin = jnp.minimum(wmin, canon_m[:, j : j + n_win])
+    if wwin == 1:
+        wmin = canon_m[:, :n_win]
+    else:
+        level = canon_m
+        span = 1
+        while span * 2 <= wwin:
+            level = jnp.minimum(
+                level[:, : level.shape[1] - span], level[:, span:]
+            )
+            span *= 2
+        wmin = jnp.minimum(
+            level[:, :n_win], level[:, wwin - span : wwin - span + n_win]
+        )
 
-    khi, klo = encode.pack_kmers(codes, k)
-    rhi, rlo = encode.reverse_complement_packed(khi, klo, k)
+    khi, klo, rhi, rlo = encode.pack_kmers_both(codes, k)
     fwd_smaller = (khi < rhi) | ((khi == rhi) & (klo <= rlo))
     kmer_hi = jnp.where(fwd_smaller, khi, rhi)
     kmer_lo = jnp.where(fwd_smaller, klo, rlo)
