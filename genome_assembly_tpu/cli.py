@@ -159,6 +159,31 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_plot(args) -> int:
+    """Visual validation plots from a verbose (print_kmer_read_ids) dump --
+    the continuation of the reference harness's plot_unitigs flow."""
+    import pathlib
+
+    from genome_assembly_tpu.utils import plots
+
+    text = pathlib.Path(args.unitigs_file).read_text()
+    bin_counts, unitigs = plots.parse_verbose_output(text)
+    outdir = pathlib.Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    plots.plot_mmer_bins(bin_counts, str(outdir / "mmers.png"))
+    if args.genome_file:
+        genome = pathlib.Path(args.genome_file).read_text().strip()
+        plots.plot_unitig_placement(
+            [u for u, _ in unitigs], genome, str(outdir / "kmers.png")
+        )
+    print(
+        f"{sum(bin_counts.values())} unitigs in {len(bin_counts)} bins -> "
+        f"{outdir}",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_bench_scaling(args) -> int:
     """Shard-scaling benchmark on virtual CPU devices (or a real slice)."""
     import os
@@ -241,6 +266,12 @@ def main(argv=None) -> int:
                    help="reference-style triangular random walk positions")
     g.add_argument("--plot", default=None, help="write read-coverage bitmap PNG")
     g.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("plot", help="validation plots from verbose output")
+    p.add_argument("unitigs_file")
+    p.add_argument("--genome-file", default=None)
+    p.add_argument("--outdir", default="plots")
+    p.set_defaults(fn=cmd_plot)
 
     b = sub.add_parser("bench-scaling", help="shard-count scaling benchmark")
     b.add_argument("--devices", type=int, default=8)

@@ -212,6 +212,9 @@ def pointer_jump(next_state: jnp.ndarray) -> CompactedGraph:
     )
 
 
+_CODE_CHARS = np.frombuffer(b"TGCA", dtype=np.uint8)
+
+
 def materialize_unitigs(
     khi: np.ndarray,
     klo: np.ndarray,
@@ -222,77 +225,55 @@ def materialize_unitigs(
     """Host-side unitig assembly from chain assignments.
 
     Devices keep fixed shapes; the ragged string assembly happens here
-    (SURVEY.md section 7 "variable-length unitigs on fixed-shape buffers").
-    Each unitig appears once: of the two strand traversals, keep the one
-    whose string is the canonical (packed-min) representative.
+    (SURVEY.md section 7 "variable-length unitigs on fixed-shape buffers"),
+    fully vectorized in numpy: states are lexsorted by (head, rank), chain
+    boundaries come from head changes, and all characters land in one flat
+    byte buffer in a single pass.  Each unitig appears once: of the two
+    strand traversals, the canonical (lexicographically smaller) one is
+    kept; palindromic unitigs and cycle rotations are deduped explicitly.
     """
     khi = np.asarray(khi, dtype=np.uint64)
     klo = np.asarray(klo, dtype=np.uint64)
     valid = np.asarray(valid)
     next_state = np.asarray(graph.next_state)
     head = np.asarray(graph.head)
-    rank = np.asarray(graph.rank)
+    rank = np.asarray(graph.rank).astype(np.int64)
     is_cycle = np.asarray(graph.is_cycle)
 
     n = khi.shape[0]
     n_lo = min(k, 16)
-    value = (khi << (2 * n_lo)) | klo  # full 2k-bit packed value
+    value = (khi << np.uint64(2 * n_lo)) | klo  # full 2k-bit packed value
     kmask = (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
 
-    # oriented values per state
     def rc_val(v):
-        # reverse complement of packed value(s), vectorized
         out = np.zeros_like(v)
         comp = kmask - v  # complement per 2-bit group == mask - v
         for j in range(k):
             out = (out << np.uint64(2)) | ((comp >> np.uint64(2 * j)) & np.uint64(3))
         return out
 
-    rc_value = rc_val(value)
     state_val = np.empty(2 * n, dtype=np.uint64)
     state_val[0::2] = value
-    state_val[1::2] = rc_value
-
-    state_ids = np.arange(2 * n)
+    state_val[1::2] = rc_val(value)
     node_valid = np.repeat(valid, 2)
 
-    # Cycle handling: every cyclic state's rank is meaningless from the
-    # doubling; recompute rank around the cycle from the representative by
-    # a short host walk (cycles are rare and bounded by chain length).
-    order = {}
-    chains: dict = {}
-    for s in state_ids[node_valid]:
-        h = head[s]
-        chains.setdefault(h, []).append(s)
-
-    unitigs: List[str] = []
-    seen_cycle_canon = set()
-    seen_palindromes = set()
-    for h, members in chains.items():
-        if not node_valid[h]:
-            continue
-        if is_cycle[h]:
-            # walk the cycle from the representative (short host walk)
-            seq = [h]
-            cur = next_state[h]
+    # --- cycles: re-rank around each cycle with short host walks (rare) ---
+    cyc_states = np.flatnonzero(is_cycle & node_valid)
+    cycle_strings: List[str] = []
+    if cyc_states.size:
+        seen_cycle_canon = set()
+        for h in np.unique(head[cyc_states]):
+            seq = [int(h)]
+            cur = int(next_state[h])
             while cur != h and cur != -1:
                 seq.append(cur)
-                cur = next_state[cur]
-            ordered = seq
-        else:
-            members.sort(key=lambda s: rank[s])
-            ordered = members
-        # assemble: first state contributes k bases, the rest 1 base each
-        first = int(state_val[ordered[0]])
-        bases = [encode.unpack_int(first, k)]
-        for s in ordered[1:]:
-            bases.append(encode.BASE_BY_CODE[int(state_val[s] & np.uint64(3))])
-        u = "".join(bases)
-        # strand dedup: each unitig is traversed once per strand; keep one.
-        rc_u = _rc_str(u)
-        if is_cycle[h]:
-            # rotation+strand canonical form dedups the two strand cycles
-            body = u[k - 1 :]  # cycle period
+                cur = int(next_state[cur])
+            chars = [_decode_val(int(state_val[seq[0]]), k)]
+            chars.extend(
+                "TGCA"[int(state_val[s] & np.uint64(3))] for s in seq[1:]
+            )
+            u = "".join(chars)
+            body = u[k - 1 :]
             rc_body = _rc_str(u)[k - 1 :]
             canon = min(
                 min(body[i:] + body[:i] for i in range(len(body))),
@@ -301,18 +282,66 @@ def materialize_unitigs(
             if canon in seen_cycle_canon:
                 continue
             seen_cycle_canon.add(canon)
-            unitigs.append(u)
-        elif u == rc_u:
+            cycle_strings.append(u)
+
+    # --- linear chains: vectorized assembly ---
+    lin_mask = node_valid & ~is_cycle
+    lin_states = np.flatnonzero(lin_mask)
+    if lin_states.size == 0:
+        return cycle_strings
+
+    order = np.lexsort((rank[lin_states], head[lin_states]))
+    s_sorted = lin_states[order]
+    h_sorted = head[lin_states][order]
+    chain_start = np.empty(len(s_sorted), dtype=bool)
+    chain_start[0] = True
+    chain_start[1:] = h_sorted[1:] != h_sorted[:-1]
+    starts = np.flatnonzero(chain_start)
+    chain_lens = np.diff(np.append(starts, len(s_sorted)))
+    out_lens = chain_lens + (k - 1)
+
+    # flat byte buffer: chain c occupies [out_off[c], out_off[c] + out_lens[c])
+    out_off = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=out_off[1:])
+    buf = np.empty(out_off[-1], dtype=np.uint8)
+
+    # first k characters of each chain: decode the head state's value
+    first_vals = state_val[s_sorted[starts]]
+    for j in range(k):
+        shift = np.uint64(2 * (k - 1 - j))
+        buf[out_off[:-1] + j] = _CODE_CHARS[
+            ((first_vals >> shift) & np.uint64(3)).astype(np.int64)
+        ]
+    # subsequent states contribute their last base at position k-1+rank
+    chain_id = np.cumsum(chain_start) - 1
+    not_first = ~chain_start
+    pos = out_off[chain_id[not_first]] + (k - 1) + rank[s_sorted[not_first]]
+    buf[pos] = _CODE_CHARS[
+        (state_val[s_sorted[not_first]] & np.uint64(3)).astype(np.int64)
+    ]
+
+    all_bytes = buf.tobytes()
+    unitigs: List[str] = []
+    seen_palindromes = set()
+    for c in range(len(starts)):
+        u = all_bytes[out_off[c] : out_off[c + 1]].decode()
+        rc_u = _rc_str(u)
+        if u == rc_u:
             # palindromic unitig: both strand chains spell the same string;
-            # keep exactly one (individual k-mers can't be palindromic for
-            # odd k, but whole unitigs of even length can)
+            # keep exactly one (whole unitigs of even length can be
+            # palindromic even though odd-k k-mers cannot)
             if u in seen_palindromes:
                 continue
             seen_palindromes.add(u)
             unitigs.append(u)
         elif u < rc_u:
             unitigs.append(u)
+    unitigs.extend(cycle_strings)
     return unitigs
+
+
+def _decode_val(value: int, k: int) -> str:
+    return "".join("TGCA"[(value >> (2 * j)) & 3] for j in range(k - 1, -1, -1))
 
 
 _RC_TABLE = str.maketrans("ACGT", "TGCA")

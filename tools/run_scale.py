@@ -1,0 +1,189 @@
+"""Genome-scale fast-pipeline run (BASELINE.json configs).
+
+Simulates reads from a synthetic genome ON DEVICE (no host->device read
+transfer), runs the full fast count -> prune -> dBG link -> pointer-jump
+pipeline, and reports device-side stats + phase timings as JSON lines.
+
+  python tools/run_scale.py --preset ecoli      # ~4.6 Mbp, 50x, K=31
+  python tools/run_scale.py --preset small      # quick CPU-sized check
+
+All phases are jitted; timings use scalar readbacks as hard syncs (the
+axon relay does not honor block_until_ready).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+PRESETS = {
+    "small": dict(genome_len=200_000, coverage=10, read_len=100, batch=16384,
+                  kept_cap=1 << 19),
+    "ecoli": dict(genome_len=4_600_000, coverage=50, read_len=100, batch=65536,
+                  kept_cap=1 << 23),
+    "celegans": dict(genome_len=100_000_000, coverage=30, read_len=100,
+                     batch=131072, kept_cap=1 << 27),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", choices=PRESETS, default="ecoli")
+    ap.add_argument("--k", type=int, default=31)
+    ap.add_argument("--m", type=int, default=7)
+    ap.add_argument("--cutoff", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    cfg = PRESETS[args.preset]
+
+    from genome_assembly_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from genome_assembly_tpu.ops import count as count_ops
+    from genome_assembly_tpu.ops import dbg, minimizer
+
+    K, M, CUTOFF = args.k, args.m, args.cutoff
+    G = cfg["genome_len"]
+    read_len = cfg["read_len"]
+    batch = cfg["batch"]
+    n_reads = int(G * cfg["coverage"] / read_len)
+    n_batches = max(1, (n_reads + batch - 1) // batch)
+    n_reads = n_batches * batch
+    L = 128
+    n_win = L - K + 1
+    total_slots = n_reads * n_win
+    kept_cap = cfg["kept_cap"]
+
+    def emit(event, **kw):
+        print(json.dumps({"event": event, **kw}), flush=True)
+
+    emit(
+        "config", preset=args.preset, genome_len=G, n_reads=n_reads, k=K, m=M,
+        total_window_slots=total_slots,
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    kg, kr = jax.random.split(key)
+
+    @jax.jit
+    def make_genome(kg):
+        return jax.random.randint(kg, (G,), 0, 4, dtype=jnp.int32).astype(jnp.uint8)
+
+    @jax.jit
+    def simulate_and_scan(genome, kr, batch_idx):
+        """One batch: sample starts, gather reads, fast scan -> key lanes."""
+        kb = jax.random.fold_in(kr, batch_idx)
+        starts = jax.random.randint(kb, (batch,), 0, G - read_len, dtype=jnp.int32)
+        offs = jax.lax.broadcasted_iota(jnp.int32, (batch, read_len), 1)
+        reads = genome[starts[:, None] + offs]
+        codes = jnp.zeros((batch, L), dtype=jnp.uint8).at[:, :read_len].set(reads)
+        lengths = jnp.full((batch,), read_len, dtype=jnp.int32)
+        recs = minimizer.fast_scan(codes, lengths, k=K, m=M)
+        sent = jnp.uint32(0xFFFFFFFF)
+        hi = jnp.where(recs.valid, recs.kmer_hi, sent).reshape(-1)
+        lo = jnp.where(recs.valid, recs.kmer_lo, sent).reshape(-1)
+        return hi, lo
+
+    @jax.jit
+    def global_count(hi_all, lo_all):
+        recs = minimizer.WindowRecords(
+            mmer=jnp.zeros((0,), jnp.uint32),
+            kmer_hi=hi_all,
+            kmer_lo=lo_all,
+            valid=hi_all != jnp.uint32(0xFFFFFFFF),
+        )
+        kc = count_ops.count_keys(recs, cutoff=CUTOFF)
+        khi, klo, valid = count_ops.kept_keys_sorted(kc)
+        n_distinct = jnp.sum(kc.group_start & kc.valid)
+        n_kept = jnp.sum(kc.keep)
+        return khi[:kept_cap], klo[:kept_cap], valid[:kept_cap], n_distinct, n_kept
+
+    @jax.jit
+    def compact_graph(khi, klo, valid):
+        links = dbg.build_unitig_links(khi, klo, valid, k=K)
+        graph = dbg.pointer_jump(links)
+        node_valid = jnp.repeat(valid, 2)
+        # chain heads: states nothing links to (pred < 0), linear only
+        n2 = links.shape[0]
+        pred = jnp.full(n2, -1, dtype=jnp.int32)
+        src = jnp.where(links >= 0, links, n2)
+        pred = pred.at[src].set(jnp.arange(n2, dtype=jnp.int32), mode="drop")
+        lin_heads = jnp.sum((pred < 0) & node_valid & ~graph.is_cycle)
+        n_cyc_states = jnp.sum(graph.is_cycle & node_valid)
+        max_rank = jnp.max(jnp.where(node_valid, graph.rank, 0))
+        return lin_heads, n_cyc_states, max_rank
+
+    t0 = time.perf_counter()
+    genome = make_genome(kg)
+    float(genome[0])
+    emit("genome", wall_s=round(time.perf_counter() - t0, 3))
+
+    t0 = time.perf_counter()
+    his, los = [], []
+    for b in range(n_batches):
+        hi, lo = simulate_and_scan(genome, kr, b)
+        his.append(hi)
+        los.append(lo)
+    hi_all = jnp.concatenate(his)
+    lo_all = jnp.concatenate(los)
+    float(hi_all[-1])
+    scan_wall = time.perf_counter() - t0
+    emit(
+        "scan",
+        wall_s=round(scan_wall, 3),
+        windows_per_s=round(total_slots / scan_wall, 1),
+    )
+
+    t0 = time.perf_counter()
+    khi, klo, valid, n_distinct, n_kept = global_count(hi_all, lo_all)
+    n_distinct = int(n_distinct)
+    n_kept = int(n_kept)
+    count_wall = time.perf_counter() - t0
+    assert n_kept <= kept_cap, f"raise kept_cap: {n_kept} > {kept_cap}"
+    emit(
+        "count",
+        wall_s=round(count_wall, 3),
+        kmers_counted_per_s=round(total_slots / count_wall, 1),
+        distinct=n_distinct,
+        kept=n_kept,
+    )
+
+    t0 = time.perf_counter()
+    lin_heads, n_cyc_states, max_rank = compact_graph(khi, klo, valid)
+    lin_heads = int(lin_heads)
+    ext_wall = time.perf_counter() - t0
+    emit(
+        "extension",
+        wall_s=round(ext_wall, 3),
+        linear_unitigs=lin_heads // 2,  # two strand chains per unitig
+        cyclic_states=int(n_cyc_states),
+        longest_chain=int(max_rank) + 1,
+        states_per_s=round(2 * kept_cap / ext_wall, 1),
+    )
+    emit(
+        "total",
+        wall_s=round(scan_wall + count_wall + ext_wall, 3),
+        end_to_end_kmers_per_s=round(
+            total_slots / (scan_wall + count_wall + ext_wall), 1
+        ),
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
