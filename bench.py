@@ -63,16 +63,18 @@ def main() -> None:
 
     def timed(iters: int) -> float:
         t0 = time.perf_counter()
-        float(bench_loop(codes, lengths, iters))  # readback = hard sync
+        # pass iters as a traced scalar so every call shares one executable
+        float(bench_loop(codes, lengths, jnp.uint32(iters)))
         return time.perf_counter() - t0
 
     timed(1)  # compile + warm
-    lo_iters, hi_iters = 4, 20
-    d_lo = timed(lo_iters)
-    d_hi = timed(hi_iters)
-    per_iter = (d_hi - d_lo) / (hi_iters - lo_iters)
-    if per_iter <= 0:  # timing noise fallback: amortize a single long run
-        per_iter = timed(50) / 50
+    # long paired runs so relay dispatch/readback noise (tens of ms) is
+    # amortized over 100 iterations and cancels in the difference
+    d_lo = timed(4)
+    d_hi = timed(104)
+    per_iter = (d_hi - d_lo) / 100
+    if per_iter <= 0:  # pathological noise: amortize a single long run
+        per_iter = timed(100) / 100
 
     windows_per_s = n_windows / per_iter
     print(

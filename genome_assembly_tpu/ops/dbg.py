@@ -187,7 +187,7 @@ def pointer_jump(next_state: jnp.ndarray) -> CompactedGraph:
     # clobbered.
     pred = jnp.full(n2, -1, dtype=jnp.int32)
     src = jnp.where(next_state >= 0, next_state, n2)
-    pred = pred.at[src].set(ids, mode="drop")
+    pred = pred.at[src].set(ids, mode="drop", unique_indices=True)
 
     # Head-absorbing parent: heads (pred == -1) self-loop with rank 0.
     parent = jnp.where(pred >= 0, pred, ids)

@@ -168,7 +168,9 @@ def sharded_pointer_jump(next_state: jnp.ndarray, *, mesh: Mesh) -> dbg.Compacte
         ids_full = jnp.arange(n2, dtype=jnp.int32)
         pred_full = jnp.full(n2, -1, dtype=jnp.int32)
         src = jnp.where(next_state_rep >= 0, next_state_rep, n2)
-        pred_full = pred_full.at[src].set(ids_full, mode="drop")
+        pred_full = pred_full.at[src].set(
+            ids_full, mode="drop", unique_indices=True
+        )
         parent_full = jnp.where(pred_full >= 0, pred_full, ids_full)
 
         parent = parent_full[shard_ids]

@@ -122,7 +122,9 @@ def main() -> int:
         n2 = links.shape[0]
         pred = jnp.full(n2, -1, dtype=jnp.int32)
         src = jnp.where(links >= 0, links, n2)
-        pred = pred.at[src].set(jnp.arange(n2, dtype=jnp.int32), mode="drop")
+        pred = pred.at[src].set(
+            jnp.arange(n2, dtype=jnp.int32), mode="drop", unique_indices=True
+        )
         lin_heads = jnp.sum((pred < 0) & node_valid & ~graph.is_cycle)
         n_cyc_states = jnp.sum(graph.is_cycle & node_valid)
         max_rank = jnp.max(jnp.where(node_valid, graph.rank, 0))
