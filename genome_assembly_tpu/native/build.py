@@ -52,5 +52,32 @@ def build(force: bool = False) -> pathlib.Path:
     return _LIB
 
 
+_SELFTEST = _DIR / "replay_selftest_asan"
+
+
+def build_sanitizer_selftest(force: bool = False) -> pathlib.Path:
+    """ASan+UBSan build of the replay engine with a synthetic driver.
+
+    The reference ships with latent memory bugs (SURVEY.md 2.1.9); this
+    guards our engine against growing its own (SURVEY.md 5.2).
+    """
+    if _SELFTEST.exists() and not force:
+        return _SELFTEST
+    cmd = [
+        "g++",
+        "-O1",
+        "-g",
+        "-std=c++17",
+        "-fsanitize=address,undefined",
+        "-fno-sanitize-recover=all",
+        str(_DIR / "replay_engine.cpp"),
+        str(_DIR / "selftest_main.cpp"),
+        "-o",
+        str(_SELFTEST),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SELFTEST
+
+
 if __name__ == "__main__":
     print(build(force=True))

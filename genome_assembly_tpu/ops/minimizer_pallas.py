@@ -32,7 +32,9 @@ def _scan_kernel(codes_ref, mmer_ref, hi_ref, lo_ref, *, k, m, n_win):
     n_mpos = length - m + 1
     fwd = encode._windowed_pack(mpacks, m, n_mpos)
     rc_m = encode._windowed_rc_pack(mrcpacks, m, n_mpos)
-    canon_m = jnp.minimum(fwd, rc_m)
+    # Mosaic cannot legalize unsigned vector min (arith.minui); m-mer
+    # scores are < 2^30, so signed min is exact.
+    canon_m = jnp.minimum(fwd.astype(jnp.int32), rc_m.astype(jnp.int32))
 
     # sparse-table windowed min over the k - m + 1 m-mer positions
     wwin = k - m + 1
@@ -47,6 +49,7 @@ def _scan_kernel(codes_ref, mmer_ref, hi_ref, lo_ref, *, k, m, n_win):
         wmin = jnp.minimum(
             level[:, :n_win], level[:, wwin - span : wwin - span + n_win]
         )
+    wmin = wmin.astype(jnp.uint32)
 
     khi, klo, rhi, rlo = encode.pack_kmers_both(codes, k)
     fwd_le = (khi < rhi) | ((khi == rhi) & (klo <= rlo))
