@@ -10,7 +10,7 @@ natural analogue of the reference's recompile-per-#define.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

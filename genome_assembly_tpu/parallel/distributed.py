@@ -21,7 +21,7 @@ enough); N >= 2 hosts coordinate through ``jax.distributed``:
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 

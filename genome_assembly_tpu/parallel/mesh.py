@@ -9,7 +9,7 @@ sharded by ``owner(minimizer)``.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

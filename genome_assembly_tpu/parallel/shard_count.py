@@ -33,7 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from genome_assembly_tpu.ops import minimizer as minimizer_ops
 from genome_assembly_tpu.ops.count import SENTINEL, group_counts

@@ -31,7 +31,7 @@ instrumented build verifies they never fire on the supported fixtures.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from genome_assembly_tpu.ops.encode import BASE_BY_CODE, score_str
 

@@ -9,7 +9,7 @@ never pay for it.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 
 def _plt():
