@@ -46,6 +46,7 @@ class PipelineConfig:
     parity: bool = True
     batch_reads: int = 4096
     max_read_len: int = 128
+    pallas_scan: bool = False  # fast mode: use the fused Pallas scan kernel
 
     def __post_init__(self) -> None:
         if not (1 <= self.m <= 15):

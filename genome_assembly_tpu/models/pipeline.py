@@ -50,6 +50,10 @@ class CountPipeline:
         cfg = self.config
         if cfg.parity:
             return minimizer.parity_scan(codes, lengths, k=cfg.k, m=cfg.m)
+        if cfg.pallas_scan and codes.shape[0] % 256 == 0:
+            from genome_assembly_tpu.ops.minimizer_pallas import fast_scan_pallas
+
+            return fast_scan_pallas(codes, lengths, k=cfg.k, m=cfg.m)
         return minimizer.fast_scan(codes, lengths, k=cfg.k, m=cfg.m)
 
     def count_reads(
@@ -147,8 +151,8 @@ class FastAssembler:
         # key lanes and count with the cheap two-lane sort.
         his, los, valids = [], [], []
         for b in batches:
-            recs = minimizer_ops.fast_scan(
-                jnp.asarray(b.codes), jnp.asarray(b.lengths), k=cfg.k, m=cfg.m
+            recs = self.counter.scan(
+                jnp.asarray(b.codes), jnp.asarray(b.lengths)
             )
             his.append(recs.kmer_hi.reshape(-1))
             los.append(recs.kmer_lo.reshape(-1))
