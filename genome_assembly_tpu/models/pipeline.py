@@ -218,7 +218,8 @@ class ParityAssembler:
         return table_ops.decode_table(host, self.config.k, self.config.m)
 
     def assemble(
-        self, reads: Sequence[str], engine: str = "auto", verbose: bool = False
+        self, reads: Sequence[str], engine: str = "auto", verbose: bool = False,
+        mesh=None,
     ):
         """Full parity pipeline -> unitig lines in the reference's exact
         print order (print_kmers, binning.c:827-843).
@@ -226,10 +227,17 @@ class ParityAssembler:
         engine: 'python' (executable spec), 'native' (C++ engine), or
         'auto' (native if built, else python).
         verbose: return the print_kmer_read_ids text instead of unitig lines.
+        mesh: optional jax Mesh -- counting runs distributed (minimizer
+        all_to_all) and still feeds the same bit-exact replay, because each
+        group carries its global first-seen stream index.
         """
         from genome_assembly_tpu.parity import replay as replay_mod
 
         cfg = self.config
+        if mesh is not None:
+            return self._assemble_sharded(reads, mesh, verbose), PhaseStats(
+                n_reads=len(reads)
+            )
         counted, stats = self.counter.count_reads(reads)
         host_all = table_ops.extract_groups(counted, pruned=False)
         if engine == "auto":
@@ -254,3 +262,37 @@ class ParityAssembler:
         rep.extend_all(False)
         out = rep.print_kmer_read_ids() if verbose else rep.print_kmers()
         return out, stats
+
+    def _assemble_sharded(self, reads: Sequence[str], mesh, verbose: bool):
+        """Distributed counting (minimizer all_to_all) -> native replay."""
+        from genome_assembly_tpu.native import replay_native
+        from genome_assembly_tpu.parallel import shard_count
+
+        cfg = self.config
+        n_shards = int(np.prod(list(mesh.shape.values())))
+        batches = reads_io.batch_reads(reads, cfg.max_read_len)
+        (batch,) = batches  # single padded batch; multi-batch: future work
+        rows = ((batch.n + n_shards - 1) // n_shards) * n_shards
+        batch = reads_io.pad_batch(batch, rows)
+        sc = shard_count.sharded_count(
+            jnp.asarray(batch.codes),
+            jnp.asarray(batch.lengths),
+            jnp.asarray(batch.read_ids),
+            k=cfg.k,
+            m=cfg.m,
+            parity=True,
+            cutoff=-1,  # replay performs the reference's own pruning
+            mesh=mesh,
+        )
+        overflow = int(np.sum(np.asarray(sc.overflow)))
+        if overflow:
+            raise RuntimeError(
+                f"minimizer routing overflow ({overflow} records); rerun "
+                "with a larger slack factor"
+            )
+        mmer, hi, lo, offsets, flat_ids = shard_count.sharded_groups_for_replay(sc)
+        text, _ = replay_native.replay(
+            mmer, hi, lo, offsets, flat_ids,
+            cfg.k, cfg.m, cfg.abundance_cutoff, verbose=verbose,
+        )
+        return text if verbose else text.splitlines()

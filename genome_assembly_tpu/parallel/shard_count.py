@@ -217,6 +217,48 @@ def sharded_count(
     )
 
 
+def sharded_groups_for_replay(sc: ShardedCount):
+    """ShardedCount (built with cutoff=-1) -> insertion-ordered host groups.
+
+    Returns (mmer, kmer_hi, kmer_lo, id_offsets, read_ids) numpy arrays in
+    global first-seen order -- the native parity replay's input format.
+    Ownership partitioning loses no ordering information because each
+    group's first_seen stream index is global.
+    """
+    mmer = np.asarray(sc.mmer)
+    khi = np.asarray(sc.kmer_hi)
+    klo = np.asarray(sc.kmer_lo)
+    rid = np.asarray(sc.read_id)
+    stream = np.asarray(sc.stream_idx)
+    count = np.asarray(sc.count)
+    gs = np.asarray(sc.group_start)
+    valid = np.asarray(sc.valid)
+
+    g_mmer, g_hi, g_lo, g_first, g_ids = [], [], [], [], []
+    for s in range(mmer.shape[0]):
+        starts = np.flatnonzero(gs[s] & valid[s])
+        for g in starts:
+            c = count[s, g]
+            g_mmer.append(mmer[s, g])
+            g_hi.append(khi[s, g])
+            g_lo.append(klo[s, g])
+            g_first.append(stream[s, g])
+            g_ids.append(rid[s, g : g + c])
+    order = np.argsort(np.asarray(g_first), kind="stable")
+    mmer_o = np.asarray(g_mmer, dtype=np.uint32)[order]
+    hi_o = np.asarray(g_hi, dtype=np.uint32)[order]
+    lo_o = np.asarray(g_lo, dtype=np.uint32)[order]
+    sizes = np.asarray([len(g_ids[i]) for i in order], dtype=np.int64)
+    offsets = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    flat_ids = (
+        np.concatenate([np.asarray(g_ids[i], dtype=np.int32) for i in order])
+        if len(order)
+        else np.zeros(0, dtype=np.int32)
+    )
+    return mmer_o, hi_o, lo_o, offsets, flat_ids
+
+
 def sharded_to_host_dict(sc: ShardedCount, k: int, m: int):
     """Merge per-shard tables into the string-keyed dict (tests/materialize).
 

@@ -155,6 +155,20 @@ def test_sharded_dbg_matches_single_device(mesh8):
     )
 
 
+def test_distributed_parity_exact_unitigs(mesh8):
+    """Distributed counting + native replay == golden unitigs, exact order."""
+    cfg = PipelineConfig(k=6, m=3, max_read_len=32, batch_reads=64)
+    asm = ParityAssembler(cfg)
+    reads = asm.load("/root/reference/input.txt")
+    lines, _ = asm.assemble(reads, mesh=mesh8)
+    import pathlib
+
+    golden = (
+        pathlib.Path(__file__).parent / "golden/input_k6m3_unitigs.txt"
+    ).read_text().splitlines()
+    assert lines == golden
+
+
 def test_parity_pipeline_via_sharded_count(mesh8):
     """Sharded counting feeds the same parity replay and still matches the
     golden unitigs on input.txt."""
