@@ -86,9 +86,15 @@ def cmd_assemble(args) -> int:
                 extra["n_windows"] = stats.n_windows
         else:
             asm = FastAssembler(cfg)
-            reads = asm.load(args.reads_file)
             with log.phase("assemble", mode="fast", k=cfg.k, m=cfg.m) as extra:
-                unitigs, stats = asm.unitigs(reads)
+                if args.fasta:
+                    from genome_assembly_tpu.io.reads import load_fasta
+
+                    seqs = load_fasta(args.reads_file)
+                    unitigs, stats = asm.unitigs_from_sequences(seqs)
+                else:
+                    reads = asm.load(args.reads_file)
+                    unitigs, stats = asm.unitigs(reads)
                 sys.stdout.write("\n".join(unitigs) + ("\n" if unitigs else ""))
                 extra["entries_post_prune"] = stats.entries_post_prune
                 extra["n_unitigs"] = stats.entries_post_extension
@@ -243,6 +249,9 @@ def main(argv=None) -> int:
     a.add_argument("reads_file")
     a.add_argument("--verbose-output", action="store_true",
                    help="print_kmer_read_ids format (parity mode)")
+    a.add_argument("--fasta", action="store_true",
+                   help="fast mode: treat input as FASTA (multi-line records, "
+                        "long sequences chunked with k-1 overlap)")
     _add_pipeline_args(a)
     a.set_defaults(fn=cmd_assemble)
 
