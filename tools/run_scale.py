@@ -166,8 +166,17 @@ def main() -> int:
     )
 
     t0 = time.perf_counter()
-    lin_heads, n_cyc_states, max_rank = compact_graph(khi, klo, valid)
-    lin_heads = int(lin_heads)
+    try:
+        lin_heads, n_cyc_states, max_rank = compact_graph(khi, klo, valid)
+        lin_heads = int(lin_heads)
+    except Exception as exc:  # known: TPU worker kernel fault >8M states
+        emit(
+            "extension_failed",
+            error=str(exc)[:200],
+            note="dbg compaction at this state count faults the relayed "
+            "TPU worker (NOTES.md); the same graph is correct on CPU",
+        )
+        return 1
     ext_wall = time.perf_counter() - t0
     emit(
         "extension",
