@@ -134,11 +134,15 @@ class FastAssembler:
                 )
         return self.unitigs(chunks)
 
-    def unitigs(self, reads: Sequence[str]) -> Tuple[List[str], PhaseStats]:
+    def unitigs(
+        self, reads: Sequence[str], mesh=None
+    ) -> Tuple[List[str], PhaseStats]:
         from genome_assembly_tpu.ops import dbg
         from genome_assembly_tpu.ops import minimizer as minimizer_ops
 
         cfg = self.config
+        if mesh is not None:
+            return self._unitigs_sharded(reads, mesh)
         stats = PhaseStats(n_reads=len(reads))
         batches = reads_io.batch_reads(
             reads, cfg.max_read_len, cfg.batch_reads
@@ -170,6 +174,54 @@ class FastAssembler:
         khi, klo, valid = count_ops.kept_keys_sorted(kc)
         links = dbg.build_unitig_links(khi, klo, valid, k=cfg.k)
         graph = dbg.pointer_jump(links)
+        out = dbg.materialize_unitigs(
+            np.asarray(khi), np.asarray(klo), np.asarray(valid), graph, cfg.k
+        )
+        stats.entries_post_extension = len(out)
+        return out, stats
+
+    def _unitigs_sharded(self, reads: Sequence[str], mesh):
+        """Distributed counting + sharded dBG compaction over the mesh."""
+        from genome_assembly_tpu.ops import dbg
+        from genome_assembly_tpu.parallel import shard_count, shard_dbg
+
+        cfg = self.config
+        stats = PhaseStats(n_reads=len(reads))
+        n_shards = int(np.prod(list(mesh.shape.values())))
+        (batch,) = reads_io.batch_reads(reads, cfg.max_read_len)
+        rows = ((batch.n + n_shards - 1) // n_shards) * n_shards
+        batch = reads_io.pad_batch(batch, rows)
+        sc = shard_count.sharded_count(
+            jnp.asarray(batch.codes),
+            jnp.asarray(batch.lengths),
+            jnp.asarray(batch.read_ids),
+            k=cfg.k,
+            m=cfg.m,
+            parity=False,
+            cutoff=cfg.abundance_cutoff,
+            mesh=mesh,
+        )
+        overflow = int(np.sum(np.asarray(sc.overflow)))
+        if overflow:
+            raise RuntimeError(f"minimizer routing overflow ({overflow})")
+        keep = np.asarray(sc.keep)
+        khi_np = np.asarray(sc.kmer_hi)[keep]
+        klo_np = np.asarray(sc.kmer_lo)[keep]
+        order = np.lexsort((klo_np, khi_np))
+        n_kept = len(order)
+        stats.entries_post_prune = n_kept
+        pad = n_shards * max(
+            1, -(-max(n_kept, 1) // n_shards)
+        )  # round up so 2N divides the mesh
+        khi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+        klo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+        valid = np.zeros(pad, dtype=bool)
+        khi[:n_kept] = khi_np[order]
+        klo[:n_kept] = klo_np[order]
+        valid[:n_kept] = True
+        khi, klo, valid = jnp.asarray(khi), jnp.asarray(klo), jnp.asarray(valid)
+        links = shard_dbg.sharded_unitig_links(khi, klo, valid, k=cfg.k, mesh=mesh)
+        graph = shard_dbg.sharded_pointer_jump(links, mesh=mesh)
         out = dbg.materialize_unitigs(
             np.asarray(khi), np.asarray(klo), np.asarray(valid), graph, cfg.k
         )

@@ -169,6 +169,19 @@ def test_distributed_parity_exact_unitigs(mesh8):
     assert lines == golden
 
 
+def test_distributed_fast_pipeline_equals_single_device(mesh8):
+    """Full fast pipeline over the mesh == single-device unitig set."""
+    from genome_assembly_tpu.models.pipeline import FastAssembler
+
+    genome, reads, _ = datagen.generate_coverage_reads(
+        genome_len=700, read_len=48, coverage=8, seed=13, with_reverse=True
+    )
+    cfg = PipelineConfig(k=11, m=5, parity=False, max_read_len=64, batch_reads=4096)
+    single, _ = FastAssembler(cfg).unitigs(reads)
+    sharded, _ = FastAssembler(cfg).unitigs(reads, mesh=mesh8)
+    assert sorted(single) == sorted(sharded)
+
+
 def test_parity_pipeline_via_sharded_count(mesh8):
     """Sharded counting feeds the same parity replay and still matches the
     golden unitigs on input.txt."""
