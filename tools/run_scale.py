@@ -40,6 +40,13 @@ def main() -> int:
     ap.add_argument("--cutoff", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--tpu-ext-limit",
+        type=int,
+        default=4_000_000,
+        help="state count above which the extension graph runs on the CPU "
+        "backend (relayed-TPU kernel fault workaround, NOTES.md)",
+    )
     args = ap.parse_args()
     cfg = PRESETS[args.preset]
 
@@ -166,6 +173,15 @@ def main() -> int:
     )
 
     t0 = time.perf_counter()
+    # dbg compaction above ~8M states faults the relayed TPU worker
+    # (NOTES.md); run the extension graph on the host CPU backend there.
+    use_cpu_ext = (not args.cpu) and (2 * kept_cap > args.tpu_ext_limit)
+    if use_cpu_ext:
+        cpu = jax.local_devices(backend="cpu")[0]
+        khi = jax.device_put(np.asarray(khi), cpu)
+        klo = jax.device_put(np.asarray(klo), cpu)
+        valid = jax.device_put(np.asarray(valid), cpu)
+        emit("extension_device", device="cpu", states=2 * kept_cap)
     try:
         lin_heads, n_cyc_states, max_rank = compact_graph(khi, klo, valid)
         lin_heads = int(lin_heads)
