@@ -238,6 +238,13 @@ def cmd_bench_scaling(args) -> int:
     for r in results:
         r["scaling_eff"] = round(r["windows_per_s"] / (base * r["shards"]), 3)
         print(json.dumps(r))
+    if args.cpu_devices:
+        print(
+            "note: virtual CPU devices share the host cores, so efficiency "
+            "saturates at the physical core count; run on a real slice for "
+            "true scaling numbers",
+            file=sys.stderr,
+        )
     return 0
 
 
