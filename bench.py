@@ -59,12 +59,13 @@ def main() -> None:
             recs = minimizer.fast_scan(c, lengths, k=K, m=M)
             kc = count_ops.count_keys(recs, cutoff=CUTOFF)
             return acc + jnp.sum(kc.keep).astype(jnp.uint32)
-        return jax.lax.fori_loop(0, iters, body, jnp.uint32(0))
+        # bounds must share one dtype (jax >= 0.9 enforces it)
+        return jax.lax.fori_loop(jnp.int32(0), iters, body, jnp.uint32(0))
 
     def timed(iters: int) -> float:
         t0 = time.perf_counter()
         # pass iters as a traced scalar so every call shares one executable
-        float(bench_loop(codes, lengths, jnp.uint32(iters)))
+        float(bench_loop(codes, lengths, jnp.int32(iters)))
         return time.perf_counter() - t0
 
     timed(1)  # compile + warm

@@ -172,7 +172,7 @@ class FastAssembler:
         stats.entries_pre_prune = int(jnp.sum(kc.group_start & kc.valid))
         stats.entries_post_prune = int(jnp.sum(kc.keep))
         khi, klo, valid = count_ops.kept_keys_sorted(kc)
-        links = dbg.build_unitig_links(khi, klo, valid, k=cfg.k)
+        links = dbg.build_unitig_links_join(khi, klo, valid, k=cfg.k)
         graph = dbg.pointer_jump(links)
         out = dbg.materialize_unitigs(
             np.asarray(khi), np.asarray(klo), np.asarray(valid), graph, cfg.k

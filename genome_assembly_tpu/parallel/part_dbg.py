@@ -1,0 +1,445 @@
+"""Fully-partitioned dBG compaction: no replicated tables anywhere.
+
+`parallel/shard_dbg.py` shards the *work* but replicates the key table and
+re-replicates link tables each pointer-jump round -- fine while the table
+fits one chip's HBM, impossible at chromosome scale.  Here everything is
+range-partitioned:
+
+  - The global sorted canonical key array is split into equal contiguous
+    row ranges; shard ``s`` owns rows ``[s*rows, (s+1)*rows)``.  Shard
+    boundary keys ("splitters", one per shard) are the only replicated
+    state: ``n_shards`` two-lane keys.
+  - Membership lookups route each query key to its owner (the last shard
+    whose splitter is <= the query) via a capacity-padded ``all_to_all``,
+    are answered with a local binary search, and routed back to the slot
+    they came from.  This is the distributed-memory form of the reference's
+    bin probing (find_kmer_extension, binning.c:477-559) -- except lookups
+    are by value over the whole graph, so no neighbor is ever missed for
+    being binned elsewhere (SURVEY.md 2.1.8).
+  - Pointer jumping gathers (parent, rank, min) by *global index*; the
+    owner of an index range answers.  Requests are deduplicated per shard
+    before routing (chains converge onto few heads as doubling proceeds, so
+    combining bounds the hot-owner load by the number of distinct chains,
+    not states).
+
+All routing reports psum'd overflow counters instead of silently dropping;
+callers re-run with more ``slack`` if any counter is nonzero.
+
+The flip-side in-degree test needs the *target's* oriented value; we avoid
+a second index-routed fetch entirely: a successful candidate's query value
+IS the target's entry-oriented value, so the flipped orientation is just
+its reverse complement, computable locally.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from genome_assembly_tpu.ops import dbg, encode
+
+SHARD_AXIS = "shards"
+
+
+# ---------------------------------------------------------------------------
+# routing primitives (run inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _xchg(block):
+    return lax.all_to_all(block, SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True)
+
+
+def _pack_by_owner(owner, active, payloads, fills, n_shards, cap):
+    """Sort local queries by owner and scatter them into [n_shards, cap]
+    capacity blocks (block j = queries for shard j).
+
+    Returns (blocks, (o, s, ok, idx_s), overflow): the bookkeeping triple
+    addresses answers coming back in the same [owner, slot] layout, and
+    idx_s un-sorts them to the original query order.
+    """
+    q = owner.shape[0]
+    idx = jnp.arange(q, dtype=jnp.int32)
+    key = jnp.where(active, owner.astype(jnp.uint32), jnp.uint32(n_shards))
+    sorted_ops = lax.sort((key, idx) + tuple(payloads), num_keys=1, is_stable=True)
+    key_s, idx_s = sorted_ops[0], sorted_ops[1]
+    pay_s = sorted_ops[2:]
+    first = jnp.searchsorted(key_s, key_s, side="left")
+    slot = idx - first
+    in_range = key_s < n_shards
+    ok = (slot < cap) & in_range
+    overflow = jnp.sum((slot >= cap) & in_range).astype(jnp.int32)
+    o = jnp.where(ok, key_s.astype(jnp.int32), n_shards)
+    s = jnp.where(ok, slot, 0)
+    blocks = []
+    for p, fill in zip(pay_s, fills):
+        buf = jnp.full((n_shards, cap), fill, dtype=p.dtype)
+        blocks.append(buf.at[o, s].set(p, mode="drop"))
+    return blocks, (o, s, ok, idx_s), overflow
+
+
+def _unpack_answers(ans_blocks, bookkeeping, q, misses, n_shards):
+    """Route answer blocks back and restore original query order."""
+    o, s, ok, idx_s = bookkeeping
+    outs = []
+    for a, miss in zip(ans_blocks, misses):
+        back = _xchg(a)
+        got = back[jnp.clip(o, 0, n_shards - 1), s]
+        got = jnp.where(ok, got, miss)
+        out = jnp.full((q,), miss, dtype=back.dtype)
+        out = out.at[idx_s].set(got, mode="drop", unique_indices=True)
+        outs.append(out)
+    return outs
+
+
+def _routed_lookup(
+    khi_l, klo_l, split_hi, split_lo, qhi, qlo, active, *, base, n_shards, cap
+):
+    """Global index of each query key in the partitioned sorted table, or -1.
+
+    khi_l/klo_l: this shard's sorted rows.  split_hi/lo: [n_shards]
+    replicated first-key-of-shard splitters.  base: this shard's first
+    global row.  Queries whose owner is this very shard are answered with a
+    local search and never routed -- self-owned load (e.g. the structural
+    mirror-edge query for the source's own key) would otherwise concentrate
+    on the diagonal block and overflow any uniform capacity.
+    Returns (global_idx[q], overflow).
+    """
+    # owner = (number of splitters <= query) - 1, in [0, n_shards)
+    le = (split_hi[None, 1:] < qhi[:, None]) | (
+        (split_hi[None, 1:] == qhi[:, None]) & (split_lo[None, 1:] <= qlo[:, None])
+    )
+    owner = jnp.sum(le, axis=1).astype(jnp.int32)
+    me = lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+    is_local = owner == me
+
+    local_idx = dbg.lookup2(khi_l, klo_l, qhi, qlo)
+    local_ans = jnp.where(local_idx >= 0, local_idx + base, -1).astype(jnp.int32)
+
+    blocks, bk, overflow = _pack_by_owner(
+        owner,
+        active & ~is_local,
+        (qhi, qlo),
+        (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF)),
+        n_shards,
+        cap,
+    )
+    r_qhi = _xchg(blocks[0]).reshape(-1)
+    r_qlo = _xchg(blocks[1]).reshape(-1)
+    local = dbg.lookup2(khi_l, klo_l, r_qhi, r_qlo)
+    glob = jnp.where(local >= 0, local + base, -1).astype(jnp.int32)
+    (ans,) = _unpack_answers(
+        [glob.reshape(n_shards, cap)], bk, qhi.shape[0], (jnp.int32(-1),), n_shards
+    )
+    return jnp.where(active & is_local, local_ans, ans), overflow
+
+
+def _routed_gather(tables, parent, *, rows, n_shards, cap):
+    """tables[t][parent] for global indices ``parent``, owner-routed with
+    per-shard request combining (duplicates collapse to one query).
+
+    tables: list of this shard's local [rows] arrays.  parent: [q] global
+    indices, all in range.  Returns (list of gathered [q] arrays, overflow).
+    """
+    q = parent.shape[0]
+    base = lax.axis_index(SHARD_AXIS).astype(jnp.int32) * rows
+    idx = jnp.arange(q, dtype=jnp.int32)
+    par_s, idx_s = lax.sort((parent, idx), num_keys=1, is_stable=True)
+    gs = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), par_s[1:] != par_s[:-1]]
+    )
+    owner = par_s // rows  # sorted parents => owner monotone
+    me = base // rows
+    is_local = owner == me  # answered locally; never routed (the hot-head
+    # and self-loop load is structurally self-owned after a few rounds)
+
+    # slot = rank among routed (remote) group-heads within this owner's run
+    act = gs & ~is_local
+    acti = act.astype(jnp.int32)
+    c = jnp.cumsum(acti)
+    owner_first = jnp.searchsorted(owner, owner, side="left")
+    slot = c - 1 - (c[owner_first] - acti[owner_first])
+    ok = act & (slot < cap)
+    overflow = jnp.sum(act & (slot >= cap)).astype(jnp.int32)
+    o = jnp.where(ok, owner, n_shards)
+    s = jnp.where(ok, slot, 0)
+    qbuf = jnp.full((n_shards, cap), -1, dtype=jnp.int32)
+    qbuf = qbuf.at[o, s].set(par_s, mode="drop")
+
+    recv = _xchg(qbuf).reshape(-1)
+    loc = jnp.clip(recv - base, 0, rows - 1)
+    got_blocks = []
+    for t in tables:
+        vals = t[loc]
+        vals = jnp.where(recv >= 0, vals, 0)
+        got_blocks.append(vals.reshape(n_shards, cap))
+
+    outs = []
+    head_pos = lax.associative_scan(
+        jnp.maximum, jnp.where(gs, idx, -1)
+    )  # position of each entry's group head
+    loc_q = jnp.clip(par_s - base, 0, rows - 1)
+    for t, g in zip(tables, got_blocks):
+        back = _xchg(g)
+        at_heads = back[jnp.clip(o, 0, n_shards - 1), s]
+        at_heads = jnp.where(ok, at_heads, 0)
+        at_heads = jnp.where(is_local & gs, t[loc_q], at_heads)
+        all_sorted = at_heads[head_pos]
+        out = jnp.zeros((q,), dtype=back.dtype)
+        out = out.at[idx_s].set(all_sorted, mode="drop", unique_indices=True)
+        outs.append(out)
+    return outs, overflow
+
+
+# ---------------------------------------------------------------------------
+# link building
+# ---------------------------------------------------------------------------
+
+
+def _candidates(ohi, olo, *, k):
+    """The 4 forward successor candidates of an oriented value, canonical
+    form + whether the forward orientation was kept, per base."""
+    n_lo = min(k, 16)
+    n_hi = k - n_lo
+    mask_lo = jnp.uint32((1 << (2 * n_lo)) - 1)
+    mask_hi = jnp.uint32((1 << (2 * n_hi)) - 1) if n_hi else jnp.uint32(0)
+    if n_hi > 0:
+        suf_hi = ((ohi << 2) | (olo >> (2 * (n_lo - 1)))) & mask_hi
+        suf_lo = (olo << 2) & mask_lo
+    else:
+        suf_hi = jnp.zeros_like(ohi)
+        suf_lo = (olo << 2) & mask_lo
+    out = []
+    for b in range(4):
+        chi = suf_hi
+        clo = suf_lo | jnp.uint32(b)
+        rchi, rclo = encode.reverse_complement_packed(chi, clo, k)
+        fwd_le = (chi < rchi) | ((chi == rchi) & (clo <= rclo))
+        qhi = jnp.where(fwd_le, chi, rchi)
+        qlo = jnp.where(fwd_le, clo, rclo)
+        out.append((qhi, qlo, fwd_le, chi, clo))
+    return out
+
+
+def _links_body(khi_l, klo_l, valid_l, *, k, n_shards, rows, cap):
+    """Per-shard: links for this shard's 2*rows states, all lookups routed."""
+    base = lax.axis_index(SHARD_AXIS).astype(jnp.int32) * rows
+
+    split_hi = lax.all_gather(khi_l[:1], SHARD_AXIS, tiled=True)
+    split_lo = lax.all_gather(klo_l[:1], SHARD_AXIS, tiled=True)
+
+    rhi_l, rlo_l = encode.reverse_complement_packed(khi_l, klo_l, k)
+    node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
+    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
+    gid = 2 * (base + node_l) + strand
+    ohi = jnp.where(strand == 0, khi_l[node_l], rhi_l[node_l])
+    olo = jnp.where(strand == 0, klo_l[node_l], rlo_l[node_l])
+    state_valid = valid_l[node_l]
+
+    n_states = 2 * rows
+
+    def batch_lookup(cands, active):
+        qhi = jnp.concatenate([c[0] for c in cands])
+        qlo = jnp.concatenate([c[1] for c in cands])
+        act = jnp.concatenate([active] * 4)
+        idx, ovf = _routed_lookup(
+            khi_l,
+            klo_l,
+            split_hi,
+            split_lo,
+            qhi,
+            qlo,
+            act,
+            base=base,
+            n_shards=n_shards,
+            cap=cap,
+        )
+        return idx.reshape(4, n_states), ovf
+
+    cands = _candidates(ohi, olo, k=k)
+    idx4, ovf1 = batch_lookup(cands, state_valid)
+
+    out_deg = jnp.zeros(n_states, dtype=jnp.int32)
+    succ_state = jnp.full(n_states, -1, dtype=jnp.int32)
+    succ_ohi = jnp.zeros(n_states, dtype=jnp.uint32)
+    succ_olo = jnp.zeros(n_states, dtype=jnp.uint32)
+    for b in range(4):
+        qhi, qlo, fwd_le, chi, clo = cands[b]
+        idx = idx4[b]
+        found = (idx >= 0) & state_valid
+        t_state = jnp.where(fwd_le, 2 * idx, 2 * idx + 1).astype(jnp.int32)
+        hairpin = t_state == (gid ^ 1)
+        out_deg = out_deg + jnp.where(hairpin, 2, 1) * found.astype(jnp.int32)
+        succ_state = jnp.where(found, t_state, succ_state)
+        # entry-oriented value of the target == the candidate value itself
+        succ_ohi = jnp.where(found, chi, succ_ohi)
+        succ_olo = jnp.where(found, clo, succ_olo)
+
+    unique_succ = (out_deg == 1) & state_valid
+
+    # in-degree(t) == out-degree(flip(t)); flip(t)'s oriented value is the
+    # reverse complement of t's entry-oriented value (known locally).
+    f_ohi, f_olo = encode.reverse_complement_packed(succ_ohi, succ_olo, k)
+    f_cands = _candidates(f_ohi, f_olo, k=k)
+    f_idx4, ovf2 = batch_lookup(f_cands, unique_succ)
+
+    flip_t = jnp.where(unique_succ, succ_state ^ 1, 0)
+    t_deg = jnp.zeros(n_states, dtype=jnp.int32)
+    for b in range(4):
+        qhi, qlo, fwd_le, chi, clo = f_cands[b]
+        idx = f_idx4[b]
+        found = idx >= 0
+        cand_state = jnp.where(fwd_le, 2 * idx, 2 * idx + 1).astype(jnp.int32)
+        hairpin = cand_state == (flip_t ^ 1)
+        t_deg = t_deg + jnp.where(hairpin, 2, 1) * found.astype(jnp.int32)
+
+    next_state = jnp.where(unique_succ & (t_deg == 1), succ_state, -1)
+    overflow = ovf1 + ovf2
+    return next_state[None], overflow[None]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "slack"))
+def partitioned_unitig_links(
+    khi: jnp.ndarray,
+    klo: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    k: int,
+    mesh: Mesh,
+    slack: float = 4.0,
+):
+    """next_state[2N] with BOTH the key table and the states partitioned.
+
+    khi/klo: globally sorted canonical keys (sentinel-padded), length N
+    divisible by the mesh size.  Returns (next_state [2N], overflow
+    [n_shards]); any nonzero overflow means the routing capacity was
+    exceeded -- re-run with a larger ``slack``.
+    """
+    if k % 2 == 0:
+        raise ValueError("fast-mode dBG requires odd k")
+    n = khi.shape[0]
+    n_shards = mesh.shape[SHARD_AXIS]
+    if n % n_shards:
+        raise ValueError(f"N={n} must divide mesh size {n_shards}")
+    rows = n // n_shards
+    # 8 queries per state per round, spread over n_shards owners
+    cap = max(1, int(np.ceil(8 * rows / n_shards * slack)))
+
+    fn = jax.shard_map(
+        functools.partial(
+            _links_body, k=k, n_shards=n_shards, rows=rows, cap=cap
+        ),
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+    )
+    links, overflow = fn(khi, klo, valid)
+    return links.reshape(2 * n), overflow
+
+
+# ---------------------------------------------------------------------------
+# pointer jumping
+# ---------------------------------------------------------------------------
+
+
+def _jump_body(next_l, *, n2, n_shards, rows2, cap, steps):
+    base = lax.axis_index(SHARD_AXIS).astype(jnp.int32) * rows2
+    gids = base + jnp.arange(rows2, dtype=jnp.int32)
+
+    # --- predecessor table: route (dest=next, src=gid) to dest's owner ---
+    me = base // rows2
+    dest = next_l
+    owner = jnp.clip(dest, 0, n2 - 1) // rows2
+    is_local = (dest >= 0) & (owner == me)
+    active = (dest >= 0) & ~is_local
+    blocks, _, ovf_pred = _pack_by_owner(
+        owner,
+        active,
+        (dest, gids),
+        (jnp.int32(-1), jnp.int32(-1)),
+        n_shards,
+        cap,
+    )
+    r_dest = _xchg(blocks[0]).reshape(-1)
+    r_src = _xchg(blocks[1]).reshape(-1)
+    pred_l = jnp.full(rows2, -1, dtype=jnp.int32)
+    # in-degree <= 1 => destinations are globally unique
+    loc_local = jnp.where(is_local, dest - base, rows2)
+    pred_l = pred_l.at[loc_local].set(gids, mode="drop", unique_indices=True)
+    loc = jnp.where(r_dest >= 0, r_dest - base, rows2)
+    pred_l = pred_l.at[loc].set(r_src, mode="drop", unique_indices=True)
+
+    parent = jnp.where(pred_l >= 0, pred_l, gids)
+    rank = (pred_l >= 0).astype(jnp.int32)
+    min_id = jnp.minimum(gids, parent)
+
+    def round_body(_, carry):
+        parent, rank, min_id, ovf = carry
+        (p_par, p_rank, p_min), ovf_r = _routed_gather(
+            [parent, rank, min_id], parent, rows=rows2, n_shards=n_shards, cap=cap
+        )
+        return p_par, rank + p_rank, jnp.minimum(min_id, p_min), ovf + ovf_r
+
+    parent, rank, min_id, ovf_rounds = lax.fori_loop(
+        # ovf_pred * 0 inherits the varying-axis type the carry needs
+        0, steps, round_body, (parent, rank, min_id, ovf_pred * 0)
+    )
+
+    (p_pred,), ovf_final = _routed_gather(
+        [pred_l], parent, rows=rows2, n_shards=n_shards, cap=cap
+    )
+    is_cycle = p_pred >= 0
+    head = jnp.where(is_cycle, min_id, parent)
+    overflow = ovf_pred + ovf_rounds + ovf_final
+    return head[None], rank[None], is_cycle[None], overflow[None]
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "slack"))
+def partitioned_pointer_jump(
+    next_state: jnp.ndarray, *, mesh: Mesh, slack: float = 4.0
+):
+    """List ranking with states, links, and per-round gathers all sharded.
+
+    Per-round request combining keeps the hot-head problem bounded: once a
+    chain's states share a parent, each shard sends ONE request for it.
+    Gather overflow inside the doubling loop falls back to... nothing --
+    it is counted and returned; results are only trustworthy when the
+    returned overflow is all zero (tests assert this; callers raise slack).
+
+    Returns (CompactedGraph, overflow[n_shards]).
+    """
+    n2 = next_state.shape[0]
+    n_shards = mesh.shape[SHARD_AXIS]
+    if n2 % n_shards:
+        raise ValueError("state count must divide mesh size")
+    rows2 = n2 // n_shards
+    steps = max(1, int(np.ceil(np.log2(max(n2, 2)))) + 1)
+    cap = max(1, int(np.ceil(rows2 / n_shards * slack)))
+
+    fn = jax.shard_map(
+        functools.partial(
+            _jump_body,
+            n2=n2,
+            n_shards=n_shards,
+            rows2=rows2,
+            cap=cap,
+            steps=steps,
+        ),
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS),),
+        out_specs=(P(SHARD_AXIS),) * 4,
+    )
+    head, rank, is_cycle, overflow = fn(next_state)
+    graph = dbg.CompactedGraph(
+        next_state=next_state,
+        head=head.reshape(n2),
+        rank=rank.reshape(n2),
+        is_cycle=is_cycle.reshape(n2),
+    )
+    return graph, overflow

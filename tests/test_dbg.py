@@ -250,3 +250,28 @@ def test_self_loop_homopolymer():
         for x in genome_kmers(u, k):
             ms.add(canon(x))
     assert ms == {canon(x) for x in kmers}
+
+
+def test_join_builder_matches_candidate_builder():
+    """build_unitig_links_join (sort-join form) == build_unitig_links
+    (candidate-lookup form) across k widths, including hairpin-rich small-k
+    key sets (SURVEY.md 2.1.8 neighbor semantics, TPU-fast formulation)."""
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        k = [3, 5, 11, 17, 31][trial % 5]
+        glen = [30, 80, 300, 1200][trial % 4]
+        genome = "".join(rng.choice(list("ACGT"), size=glen))
+        keys = sorted({encode.pack_str(canon(x)) for x in genome_kmers(genome, k)})
+        pad = max(8, 1 << int(np.ceil(np.log2(max(len(keys), 2)))))
+        n_lo = min(k, 16)
+        hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+        lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+        valid = np.zeros(pad, dtype=bool)
+        for i, v in enumerate(keys):
+            hi[i] = v >> (2 * n_lo)
+            lo[i] = v & ((1 << (2 * n_lo)) - 1)
+            valid[i] = True
+        hi, lo, valid = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid)
+        a = np.asarray(dbg.build_unitig_links(hi, lo, valid, k=k))
+        b = np.asarray(dbg.build_unitig_links_join(hi, lo, valid, k=k))
+        assert np.array_equal(a, b), (trial, k, glen)

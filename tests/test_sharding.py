@@ -206,3 +206,47 @@ def test_parity_pipeline_via_sharded_count(mesh8):
 
     want_all = model.count_table(model.scan_reads(reads, 6, 3), -1)
     assert got == want_all
+
+
+def test_partitioned_dbg_matches_single_device(mesh8):
+    """Fully-partitioned links + pointer jumping (no replicated tables,
+    routed lookups/gathers) == single-device results, zero overflow."""
+    from genome_assembly_tpu.ops import dbg
+    from genome_assembly_tpu.parallel import part_dbg
+
+    k = 11
+    rng = np.random.default_rng(21)
+    genome = "".join(rng.choice(list("ACGT"), size=900))
+    keys = sorted(
+        {
+            min(
+                encode.pack_str(genome[i : i + k]),
+                encode.pack_str(
+                    genome[i : i + k].translate(str.maketrans("ACGT", "TGCA"))[::-1]
+                ),
+            )
+            for i in range(len(genome) - k + 1)
+        }
+    )
+    pad = 1024
+    n_lo = min(k, 16)
+    hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros(pad, dtype=bool)
+    for i, v in enumerate(keys):
+        hi[i] = v >> (2 * n_lo)
+        lo[i] = v & ((1 << (2 * n_lo)) - 1)
+        valid[i] = True
+    hi, lo, valid = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid)
+
+    want_links = dbg.build_unitig_links(hi, lo, valid, k=k)
+    got_links, ovf = part_dbg.partitioned_unitig_links(hi, lo, valid, k=k, mesh=mesh8)
+    assert int(np.sum(np.asarray(ovf))) == 0
+    assert np.array_equal(np.asarray(got_links), np.asarray(want_links))
+
+    want_g = dbg.pointer_jump(want_links)
+    got_g, ovf2 = part_dbg.partitioned_pointer_jump(want_links, mesh=mesh8)
+    assert int(np.sum(np.asarray(ovf2))) == 0
+    assert np.array_equal(np.asarray(got_g.head), np.asarray(want_g.head))
+    assert np.array_equal(np.asarray(got_g.rank), np.asarray(want_g.rank))
+    assert np.array_equal(np.asarray(got_g.is_cycle), np.asarray(want_g.is_cycle))

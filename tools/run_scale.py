@@ -122,7 +122,7 @@ def main() -> int:
 
     @jax.jit
     def compact_graph(khi, klo, valid):
-        links = dbg.build_unitig_links(khi, klo, valid, k=K)
+        links = dbg.build_unitig_links_join(khi, klo, valid, k=K)
         graph = dbg.pointer_jump(links)
         node_valid = jnp.repeat(valid, 2)
         # chain heads: states nothing links to (pred < 0), linear only
