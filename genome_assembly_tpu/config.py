@@ -47,6 +47,7 @@ class PipelineConfig:
     batch_reads: int = 4096
     max_read_len: int = 128
     pallas_scan: bool = False  # fast mode: use the fused Pallas scan kernel
+    pallas_sort: bool = False  # fast mode: Pallas bitonic count sort (TPU only)
 
     def __post_init__(self) -> None:
         if not (1 <= self.m <= 15):

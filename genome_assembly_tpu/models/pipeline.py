@@ -168,7 +168,9 @@ class FastAssembler:
             kmer_lo=jnp.concatenate(los),
             valid=jnp.concatenate(valids),
         )
-        kc = count_ops.count_keys(combined, cutoff=cfg.abundance_cutoff)
+        kc = count_ops.count_keys(
+            combined, cutoff=cfg.abundance_cutoff, pallas_sort=cfg.pallas_sort
+        )
         stats.entries_pre_prune = int(jnp.sum(kc.group_start & kc.valid))
         stats.entries_post_prune = int(jnp.sum(kc.keep))
         khi, klo, valid = count_ops.kept_keys_sorted(kc)

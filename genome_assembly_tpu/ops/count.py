@@ -165,8 +165,10 @@ class KeyCounts(NamedTuple):
     keep: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("cutoff",))
-def count_keys(records: WindowRecords, *, cutoff: int) -> KeyCounts:
+@functools.partial(jax.jit, static_argnames=("cutoff", "pallas_sort"))
+def count_keys(
+    records: WindowRecords, *, cutoff: int, pallas_sort: bool = False
+) -> KeyCounts:
     """Count canonical k-mers without carrying read-id/stream payloads.
 
     The fast pipeline needs only the distinct pruned keys: sorting two
@@ -181,7 +183,14 @@ def count_keys(records: WindowRecords, *, cutoff: int) -> KeyCounts:
     sentinel = jnp.uint32(0xFFFFFFFF)
     hi = jnp.where(records.valid, records.kmer_hi, sentinel).reshape(n)
     lo = jnp.where(records.valid, records.kmer_lo, sentinel).reshape(n)
-    hi_s, lo_s = lax.sort((hi, lo), num_keys=2)
+    if pallas_sort:
+        # in-VMEM bitonic network (ops/bitonic_pallas.py); measured ~2x
+        # the monolithic lax.sort on the v5e chip, more at larger n
+        from genome_assembly_tpu.ops import bitonic_pallas
+
+        hi_s, lo_s = bitonic_pallas.sort_pairs(hi, lo)
+    else:
+        hi_s, lo_s = lax.sort((hi, lo), num_keys=2)
     valid = hi_s != sentinel
     prev_same = jnp.concatenate(
         [

@@ -69,11 +69,17 @@ class ShardedCount(NamedTuple):
 
 
 def _scan_and_route(
-    codes, lengths, read_ids, stream_offset, *, k, m, parity, n_shards, cap
+    codes, lengths, read_ids, stream_offset, *, k, m, parity, n_shards, cap,
+    routing="padded",
 ):
     """Per-shard body: local scan -> bucketize by owner -> all_to_all ->
     local sort/count.  Shapes: codes [rows, L]; returns [n_shards, cap]
-    blocks (pre-concat) plus overflow scalar."""
+    blocks (pre-concat) plus overflow scalar.
+
+    routing="padded": capacity-padded dense blocks (cap per src/dst pair).
+    routing="ragged": exact-size lax.ragged_all_to_all with one
+    per-destination budget (cap = receiver total) -- robust to skewed
+    minimizer distributions; see parallel/ragged.py."""
     scan = minimizer_ops.parity_scan if parity else minimizer_ops.fast_scan
     recs = scan(codes, lengths, k=k, m=m)
     rows, n_win = recs.mmer.shape
@@ -92,6 +98,25 @@ def _scan_and_route(
     owner_s, mmer_s, khi_s, klo_s, rid_s, stream_s = lax.sort(
         (owner, mmer, khi, klo, rid, stream), num_keys=1, is_stable=True
     )
+
+    if routing == "ragged":
+        from genome_assembly_tpu.parallel import ragged
+
+        payload = jnp.stack([mmer_s, khi_s, klo_s, rid_s, stream_s], axis=1)
+        received, overflow = ragged.route_records_ragged(
+            owner_s, payload, n_shards=n_shards, cap_total=cap,
+            axis_name=SHARD_AXIS,
+        )
+        r_mmer = received[:, 0]
+        r_khi = received[:, 1]
+        r_klo = received[:, 2]
+        r_rid = received[:, 3]
+        r_stream = received[:, 4]
+        r_valid = r_mmer != SENTINEL
+        return _local_count(
+            r_mmer, r_khi, r_klo, r_rid, r_stream, r_valid, overflow
+        )
+
     idx = jnp.arange(n, dtype=jnp.int32)
     first_of_owner = jnp.searchsorted(owner_s, owner_s, side="left")
     slot = idx - first_of_owner
@@ -123,15 +148,17 @@ def _scan_and_route(
     r_rid = xchg(b_rid).reshape(-1)
     r_stream = xchg(b_stream).reshape(-1)
     r_valid = r_mmer != SENTINEL
+    return _local_count(r_mmer, r_khi, r_klo, r_rid, r_stream, r_valid, overflow)
 
-    # Local count over owned records; sort by key then stream for stable
-    # per-group read-id order.
+
+def _local_count(r_mmer, r_khi, r_klo, r_rid, r_stream, r_valid, overflow):
+    """Sort-and-count the records this shard owns (groups are complete)."""
+    # sort by key then stream for stable per-group read-id order
     m_s, hi_s, lo_s, st_s, id_s, v_s = lax.sort(
         (r_mmer, r_khi, r_klo, r_stream, r_rid, r_valid),
         num_keys=4,
         is_stable=True,
     )
-    total = m_s.shape[0]
     prev_same = jnp.concatenate(
         [
             jnp.zeros((1,), dtype=bool),
@@ -156,7 +183,8 @@ def _scan_and_route(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "m", "parity", "cutoff", "mesh", "slack")
+    jax.jit,
+    static_argnames=("k", "m", "parity", "cutoff", "mesh", "slack", "routing"),
 )
 def sharded_count(
     codes: jnp.ndarray,
@@ -169,18 +197,28 @@ def sharded_count(
     cutoff: int,
     mesh: Mesh,
     slack: float = 4.0,
+    routing: str = "padded",
 ) -> ShardedCount:
     """Distributed count+prune over a 1-D mesh.
 
     codes [B, L] / lengths [B] / read_ids [B] sharded on axis 0 (B must be
-    divisible by mesh size).
+    divisible by mesh size).  routing="ragged" exchanges exact record
+    counts (lax.ragged_all_to_all) under one per-destination budget of
+    n_local*slack records instead of a per-pair pad -- same memory bound
+    but immune to per-(source,destination) skew and with wire bytes equal
+    to real records.
     """
+    if routing not in ("padded", "ragged"):
+        raise ValueError(f"unknown routing {routing!r}")
     n_shards = mesh.shape[SHARD_AXIS]
     batch, max_len = codes.shape
     rows = batch // n_shards
     n_win = max_len - k + 1
     n_local = rows * n_win
-    cap = int(np.ceil(n_local / n_shards * slack))
+    if routing == "ragged":
+        cap = int(np.ceil(n_local * slack))
+    else:
+        cap = int(np.ceil(n_local / n_shards * slack))
     # per-shard stream offsets follow the global (read, window) order
     offsets = (
         jnp.arange(n_shards, dtype=jnp.uint32)[:, None] * jnp.uint32(n_local)
@@ -194,6 +232,7 @@ def sharded_count(
             parity=parity,
             n_shards=n_shards,
             cap=cap,
+            routing=routing,
         ),
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),

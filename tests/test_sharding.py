@@ -250,3 +250,56 @@ def test_partitioned_dbg_matches_single_device(mesh8):
     assert np.array_equal(np.asarray(got_g.head), np.asarray(want_g.head))
     assert np.array_equal(np.asarray(got_g.rank), np.asarray(want_g.rank))
     assert np.array_equal(np.asarray(got_g.is_cycle), np.asarray(want_g.is_cycle))
+
+
+@pytest.mark.parametrize("parity", [True, False])
+def test_ragged_routing_equals_padded(mesh8, parity):
+    """sharded_count(routing="ragged") == routing="padded" (on CPU the
+    ragged collective runs through its dense emulation with identical
+    semantics; on TPU the same code path uses lax.ragged_all_to_all)."""
+    k, m, cutoff = 11, 5, 1
+    genome, reads, _ = datagen.generate_coverage_reads(
+        genome_len=600, read_len=48, coverage=6, seed=3, with_reverse=not parity
+    )
+    b = _batch(reads, 64, 8 * ((len(reads) + 7) // 8))
+    kw = dict(k=k, m=m, parity=parity, cutoff=cutoff, mesh=mesh8)
+    a = shard_count.sharded_count(
+        jnp.asarray(b.codes), jnp.asarray(b.lengths), jnp.asarray(b.read_ids), **kw
+    )
+    r = shard_count.sharded_count(
+        jnp.asarray(b.codes),
+        jnp.asarray(b.lengths),
+        jnp.asarray(b.read_ids),
+        routing="ragged",
+        **kw,
+    )
+    assert int(np.sum(np.asarray(a.overflow))) == 0
+    assert int(np.sum(np.asarray(r.overflow))) == 0
+    got = shard_count.sharded_to_host_dict(r, k, m)
+    want = shard_count.sharded_to_host_dict(a, k, m)
+    if parity:
+        assert got == want
+    else:
+        assert {kk: sorted(v) for kk, v in got.items()} == {
+            kk: sorted(v) for kk, v in want.items()
+        }
+
+
+def test_ragged_routing_capacity_clamp(mesh8):
+    """Receiver budget exhaustion must clamp deterministically and report
+    the dropped count, never write out of bounds."""
+    reads = ["A" * 48] * 64  # one hot owner
+    b = _batch(reads, 64, 64)
+    sc = shard_count.sharded_count(
+        jnp.asarray(b.codes),
+        jnp.asarray(b.lengths),
+        jnp.asarray(b.read_ids),
+        k=11,
+        m=5,
+        parity=False,
+        cutoff=1,
+        mesh=mesh8,
+        slack=0.05,
+        routing="ragged",
+    )
+    assert int(np.sum(np.asarray(sc.overflow))) > 0
