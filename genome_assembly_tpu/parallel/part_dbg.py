@@ -3,16 +3,19 @@
 `parallel/shard_dbg.py` shards the *work* but replicates the key table and
 re-replicates link tables each pointer-jump round -- fine while the table
 fits one chip's HBM, impossible at chromosome scale.  Here everything is
-range-partitioned:
+partitioned:
 
   - The global sorted canonical key array is split into equal contiguous
-    row ranges; shard ``s`` owns rows ``[s*rows, (s+1)*rows)``.  Shard
-    boundary keys ("splitters", one per shard) are the only replicated
-    state: ``n_shards`` two-lane keys.
-  - Membership lookups route each query key to its owner (the last shard
-    whose splitter is <= the query) via a capacity-padded ``all_to_all``,
-    are answered with a local binary search, and routed back to the slot
-    they came from.  This is the distributed-memory form of the reference's
+    row ranges; shard ``s`` owns rows ``[s*rows, (s+1)*rows)`` (state ids
+    and pointer-jump ownership follow this layout).
+  - Membership lookups route each query key to its HASH owner via a
+    capacity-padded ``all_to_all``, are answered with a local binary
+    search over a once-redistributed (hash-partitioned, key-sorted) copy
+    of the table carrying original global indices, and routed back to the
+    slot they came from.  Hash (not range) ownership is essential: misses
+    concentrate on whichever shard owns the widest key-value gap under
+    range splitting (measured 25%+ of queries on one shard).
+    This is the distributed-memory form of the reference's
     bin probing (find_kmer_extension, binning.c:477-559) -- except lookups
     are by value over the whole graph, so no neighbor is ever missed for
     being binned elsewhere (SURVEY.md 2.1.8).
@@ -98,29 +101,64 @@ def _unpack_answers(ans_blocks, bookkeeping, q, misses, n_shards):
     return outs
 
 
-def _routed_lookup(
-    khi_l, klo_l, split_hi, split_lo, qhi, qlo, active, *, base, n_shards, cap
-):
-    """Global index of each query key in the partitioned sorted table, or -1.
+# mixing constants for the key -> owner hash (spreads both lanes)
+_HASH_A = np.uint32(2654435761)
+_HASH_B = np.uint32(0x9E3779B1)
 
-    khi_l/klo_l: this shard's sorted rows.  split_hi/lo: [n_shards]
-    replicated first-key-of-shard splitters.  base: this shard's first
-    global row.  Queries whose owner is this very shard are answered with a
-    local search and never routed -- self-owned load (e.g. the structural
-    mirror-edge query for the source's own key) would otherwise concentrate
-    on the diagonal block and overflow any uniform capacity.
+
+def _key_owner(qhi, qlo, n_shards):
+    """Uniform shard assignment by key hash.
+
+    Range partitioning is NOT used for lookups: queries that miss (most
+    neighbor candidates at graph boundaries, and anything above the top
+    key) would concentrate on whichever shard owns the widest value gap --
+    measured 25%+ of all queries landing on one shard.  A multiplicative
+    hash spreads hits and misses alike.
+    """
+    h = (qhi * _HASH_A) ^ (qlo * _HASH_B)
+    return ((h >> 7) % jnp.uint32(n_shards)).astype(jnp.int32)
+
+
+def _build_hash_table(khi_l, klo_l, valid_l, *, base, n_shards, cap):
+    """Redistribute this shard's keys to their hash owners once.
+
+    Returns (hkhi, hklo, hgidx) local arrays sorted by key with sentinel
+    padding -- the lookup-side table -- plus overflow.
+    """
+    owner = _key_owner(khi_l, klo_l, n_shards)
+    gidx = base + jnp.arange(khi_l.shape[0], dtype=jnp.int32)
+    blocks, _, overflow = _pack_by_owner(
+        owner,
+        valid_l,
+        (khi_l, klo_l, gidx),
+        (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF), jnp.int32(-1)),
+        n_shards,
+        cap,
+    )
+    r_khi = _xchg(blocks[0]).reshape(-1)
+    r_klo = _xchg(blocks[1]).reshape(-1)
+    r_gidx = _xchg(blocks[2]).reshape(-1)
+    hkhi, hklo, hgidx = lax.sort((r_khi, r_klo, r_gidx), num_keys=2)
+    return hkhi, hklo, hgidx, overflow
+
+
+def _routed_lookup(hkhi, hklo, hgidx, qhi, qlo, active, *, n_shards, cap):
+    """Global index of each query key in the hash-partitioned table, or -1.
+
+    hkhi/hklo/hgidx: this shard's hash-owned keys (sorted, sentinel-padded)
+    with their original global indices.  Queries hash-owned by this very
+    shard are answered locally and never routed.
     Returns (global_idx[q], overflow).
     """
-    # owner = (number of splitters <= query) - 1, in [0, n_shards)
-    le = (split_hi[None, 1:] < qhi[:, None]) | (
-        (split_hi[None, 1:] == qhi[:, None]) & (split_lo[None, 1:] <= qlo[:, None])
-    )
-    owner = jnp.sum(le, axis=1).astype(jnp.int32)
+    owner = _key_owner(qhi, qlo, n_shards)
     me = lax.axis_index(SHARD_AXIS).astype(jnp.int32)
     is_local = owner == me
 
-    local_idx = dbg.lookup2(khi_l, klo_l, qhi, qlo)
-    local_ans = jnp.where(local_idx >= 0, local_idx + base, -1).astype(jnp.int32)
+    def answer(xhi, xlo):
+        pos = dbg.lookup2(hkhi, hklo, xhi, xlo)
+        return jnp.where(pos >= 0, hgidx[jnp.clip(pos, 0, hgidx.shape[0] - 1)], -1)
+
+    local_ans = answer(qhi, qlo).astype(jnp.int32)
 
     blocks, bk, overflow = _pack_by_owner(
         owner,
@@ -132,8 +170,7 @@ def _routed_lookup(
     )
     r_qhi = _xchg(blocks[0]).reshape(-1)
     r_qlo = _xchg(blocks[1]).reshape(-1)
-    local = dbg.lookup2(khi_l, klo_l, r_qhi, r_qlo)
-    glob = jnp.where(local >= 0, local + base, -1).astype(jnp.int32)
+    glob = answer(r_qhi, r_qlo).astype(jnp.int32)
     (ans,) = _unpack_answers(
         [glob.reshape(n_shards, cap)], bk, qhi.shape[0], (jnp.int32(-1),), n_shards
     )
@@ -227,12 +264,13 @@ def _candidates(ohi, olo, *, k):
     return out
 
 
-def _links_body(khi_l, klo_l, valid_l, *, k, n_shards, rows, cap):
+def _links_body(khi_l, klo_l, valid_l, *, k, n_shards, rows, cap, cap_tab):
     """Per-shard: links for this shard's 2*rows states, all lookups routed."""
     base = lax.axis_index(SHARD_AXIS).astype(jnp.int32) * rows
 
-    split_hi = lax.all_gather(khi_l[:1], SHARD_AXIS, tiled=True)
-    split_lo = lax.all_gather(klo_l[:1], SHARD_AXIS, tiled=True)
+    hkhi, hklo, hgidx, ovf_tab = _build_hash_table(
+        khi_l, klo_l, valid_l, base=base, n_shards=n_shards, cap=cap_tab
+    )
 
     rhi_l, rlo_l = encode.reverse_complement_packed(khi_l, klo_l, k)
     node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
@@ -249,14 +287,12 @@ def _links_body(khi_l, klo_l, valid_l, *, k, n_shards, rows, cap):
         qlo = jnp.concatenate([c[1] for c in cands])
         act = jnp.concatenate([active] * 4)
         idx, ovf = _routed_lookup(
-            khi_l,
-            klo_l,
-            split_hi,
-            split_lo,
+            hkhi,
+            hklo,
+            hgidx,
             qhi,
             qlo,
             act,
-            base=base,
             n_shards=n_shards,
             cap=cap,
         )
@@ -300,7 +336,7 @@ def _links_body(khi_l, klo_l, valid_l, *, k, n_shards, rows, cap):
         t_deg = t_deg + jnp.where(hairpin, 2, 1) * found.astype(jnp.int32)
 
     next_state = jnp.where(unique_succ & (t_deg == 1), succ_state, -1)
-    overflow = ovf1 + ovf2
+    overflow = ovf_tab + ovf1 + ovf2
     return next_state[None], overflow[None]
 
 
@@ -328,12 +364,15 @@ def partitioned_unitig_links(
     if n % n_shards:
         raise ValueError(f"N={n} must divide mesh size {n_shards}")
     rows = n // n_shards
-    # 8 queries per state per round, spread over n_shards owners
+    # 8 queries per state per round, hash-spread over n_shards owners
     cap = max(1, int(np.ceil(8 * rows / n_shards * slack)))
+    # one-time table redistribution: rows keys hash-spread over owners
+    cap_tab = max(1, int(np.ceil(rows / n_shards * slack)))
 
     fn = jax.shard_map(
         functools.partial(
-            _links_body, k=k, n_shards=n_shards, rows=rows, cap=cap
+            _links_body, k=k, n_shards=n_shards, rows=rows, cap=cap,
+            cap_tab=cap_tab,
         ),
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
