@@ -317,6 +317,22 @@ class ParityAssembler:
         out = rep.print_kmer_read_ids() if verbose else rep.print_kmers()
         return out, stats
 
+    def expanded_table(self, reads: Sequence[str], engine: str = "auto"):
+        """Post-extension expanded per-base-pair read-id table, queryable.
+
+        The reference only ever prints this structure (print_kmer_read_ids,
+        binning.c:804-825); here it is a first-class artifact:
+        {(mmer, unitig_key): [per-bp descending read-id list, one per
+        base pair]} -- the exact state expand_read_id_list
+        (binning.c:857-888) builds and unitig merging maintains.
+        """
+        from genome_assembly_tpu.utils.plots import parse_verbose_table
+
+        text, _ = self.assemble(reads, engine=engine, verbose=True)
+        if isinstance(text, list):
+            text = "\n".join(text)
+        return parse_verbose_table(text)
+
     def _assemble_sharded(self, reads: Sequence[str], mesh, verbose: bool):
         """Distributed counting (minimizer all_to_all) -> native replay."""
         from genome_assembly_tpu.native import replay_native

@@ -48,3 +48,41 @@ def test_fast_scan_pallas_matches_xla(k, m):
         g = np.asarray(getattr(got, name))
         w = np.asarray(getattr(want, name))
         assert np.array_equal(g[v], w[v]), name
+
+
+@pytest.mark.parametrize("n,cr,w", [(256, 4, 8), (4096, 8, 16), (1000, 4, 8)])
+def test_bitonic_pallas_full_sort(n, cr, w):
+    """Chunked bitonic sort (chunk pass + big CE + finish) == lax.sort,
+    including duplicate keys, sentinels, and non-power-of-two padding."""
+    from genome_assembly_tpu.ops import bitonic_pallas as bp
+
+    rng = np.random.default_rng(3)
+    hi = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 32, n).astype(np.uint32))
+    hi = hi.at[::5].set(hi[0])
+    lo = lo.at[::11].set(lo[0])
+    hi = hi.at[:3].set(jnp.uint32(0xFFFFFFFF))
+    got_hi, got_lo = bp.sort_pairs(hi, lo, chunk_rows=cr, width=w, interpret=True)
+    want_hi, want_lo = jax.lax.sort((hi, lo), num_keys=2)
+    assert np.array_equal(np.asarray(got_hi), np.asarray(want_hi))
+    assert np.array_equal(np.asarray(got_lo), np.asarray(want_lo))
+
+
+def test_count_keys_pallas_sort_matches_xla_sort():
+    """count_keys(pallas_sort=True) == count_keys(pallas_sort=False).
+
+    Uses tiny chunk dims via the internal fallback threshold: on CPU the
+    pallas path only engages above 2*chunk elements, so drive sort_pairs
+    directly with small dims plus count_keys equivalence on the fallback.
+    """
+    from genome_assembly_tpu.ops import count as count_ops
+    from genome_assembly_tpu.ops import minimizer
+
+    rng = np.random.default_rng(9)
+    codes = jnp.asarray(rng.integers(0, 4, size=(64, 48), dtype=np.uint8))
+    lengths = jnp.full((64,), 48, jnp.int32)
+    recs = minimizer.fast_scan(codes, lengths, k=11, m=5)
+    a = count_ops.count_keys(recs, cutoff=1)
+    b = count_ops.count_keys(recs, cutoff=1, pallas_sort=True)
+    for f in a._fields:
+        assert np.array_equal(np.asarray(getattr(a, f)), np.asarray(getattr(b, f)))

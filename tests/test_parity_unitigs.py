@@ -92,3 +92,23 @@ def test_synthetic_reads_match_live_oracle():
     # so the in-memory reads equal what the oracle parses.
     lines, _ = asm.assemble(reads, engine="native")
     assert lines == want
+
+
+def test_expanded_table_artifact_cross_engine():
+    """expanded_table: native-engine text parse == python replay's internal
+    expanded state, and per-bp structure is K lists of descending ids."""
+    from genome_assembly_tpu.config import PipelineConfig
+    from genome_assembly_tpu.models.pipeline import ParityAssembler
+
+    cfg = PipelineConfig(k=6, m=3, max_read_len=32, batch_reads=64)
+    asm = ParityAssembler(cfg)
+    reads = asm.load("/root/reference/input.txt")
+    native = asm.expanded_table(reads, engine="native")
+    python = asm.expanded_table(reads, engine="python")
+    assert native == python
+    assert len(native) > 0
+    for (mmer, key), per_bp in native.items():
+        assert len(mmer) == 3
+        assert len(per_bp) == len(key)
+        for ids in per_bp:
+            assert ids == sorted(ids, reverse=True)
