@@ -76,12 +76,17 @@ class CountPipeline:
         # merge, then prune (a k-mer's occurrences may span batches).
         cutoff = final_cutoff if len(batches) == 1 else -1
         n_win = cfg.max_read_len - cfg.k + 1
-        for bi, b in enumerate(batches):
-            recs = self.scan(jnp.asarray(b.codes), jnp.asarray(b.lengths))
+        # double-buffered feed: batch t+1's transfers stage while t computes
+        from genome_assembly_tpu.io import stream as stream_io
+
+        for bi, (codes, lengths, rids) in enumerate(
+            stream_io.feed_read_batches(batches)
+        ):
+            recs = self.scan(codes, lengths)
             per_batch.append(
                 count_ops.count_and_prune(
                     recs,
-                    jnp.asarray(b.read_ids),
+                    rids,
                     cutoff=cutoff,
                     stream_offset=bi * cfg.batch_reads * n_win,
                 )
@@ -153,11 +158,11 @@ class FastAssembler:
             batches[-1] = reads_io.pad_batch(batches[-1], cfg.batch_reads)
         # Fast mode carries no per-occurrence payload: flatten all batches'
         # key lanes and count with the cheap two-lane sort.
+        from genome_assembly_tpu.io import stream as stream_io
+
         his, los, valids = [], [], []
-        for b in batches:
-            recs = self.counter.scan(
-                jnp.asarray(b.codes), jnp.asarray(b.lengths)
-            )
+        for codes, lengths, _rids in stream_io.feed_read_batches(batches):
+            recs = self.counter.scan(codes, lengths)
             his.append(recs.kmer_hi.reshape(-1))
             los.append(recs.kmer_lo.reshape(-1))
             valids.append(recs.valid.reshape(-1))

@@ -27,11 +27,16 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+SENTINEL = np.uint32(0xFFFFFFFF)  # np, not jnp: a module-level jnp scalar
+# would initialize the default (TPU) backend at import time, before any
+# CLI --cpu switch, and its later constant-fetch can block behind an
+# unrelated TPU process on the relay.
 
 
 def _ce_rolled(hi, lo, d):

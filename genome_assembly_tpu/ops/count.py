@@ -22,6 +22,8 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -29,7 +31,10 @@ from jax import lax
 from genome_assembly_tpu.ops.minimizer import WindowRecords
 
 # Sentinel mmer for padding/invalid records: real mmers are < 2^30.
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+SENTINEL = np.uint32(0xFFFFFFFF)  # np, not jnp: a module-level jnp scalar
+# would initialize the default (TPU) backend at import time, before any
+# CLI --cpu switch, and its later constant-fetch can block behind an
+# unrelated TPU process on the relay.
 
 
 def group_counts(group_start: jnp.ndarray) -> jnp.ndarray:

@@ -179,3 +179,22 @@ def test_plots_render(tmp_path):
     )
     for name in ("reads.png", "mmers.png", "kmers.png"):
         assert (tmp_path / name).stat().st_size > 0
+
+
+def test_device_feeder_order_and_errors():
+    """DeviceFeeder preserves order, bounds staging, and surfaces worker
+    exceptions at the consumer (streaming executor, SURVEY.md 2.2 PP row)."""
+    from genome_assembly_tpu.io.stream import DeviceFeeder
+
+    out = list(DeviceFeeder(range(10), lambda x: x * 2, depth=2))
+    assert out == [x * 2 for x in range(10)]
+
+    def boom(x):
+        if x == 3:
+            raise ValueError("staged failure")
+        return x
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="staged failure"):
+        list(DeviceFeeder(range(5), boom, depth=2))
