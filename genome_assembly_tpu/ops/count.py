@@ -189,11 +189,12 @@ def count_keys(
     hi = jnp.where(records.valid, records.kmer_hi, sentinel).reshape(n)
     lo = jnp.where(records.valid, records.kmer_lo, sentinel).reshape(n)
     if pallas_sort:
-        # in-VMEM bitonic network (ops/bitonic_pallas.py); measured ~2x
-        # the monolithic lax.sort on the v5e chip, more at larger n
+        # XLA chunk sorts + Pallas bitonic merges (ops/bitonic_pallas.py):
+        # beats the monolithic lax.sort once n exceeds ~4M, where XLA's
+        # sort degrades superlinearly; identical below (it falls back)
         from genome_assembly_tpu.ops import bitonic_pallas
 
-        hi_s, lo_s = bitonic_pallas.sort_pairs(hi, lo)
+        hi_s, lo_s = bitonic_pallas.sort_pairs_hybrid(hi, lo)
     else:
         hi_s, lo_s = lax.sort((hi, lo), num_keys=2)
     valid = hi_s != sentinel

@@ -86,3 +86,20 @@ def test_count_keys_pallas_sort_matches_xla_sort():
     b = count_ops.count_keys(recs, cutoff=1, pallas_sort=True)
     for f in a._fields:
         assert np.array_equal(np.asarray(getattr(a, f)), np.asarray(getattr(b, f)))
+
+
+@pytest.mark.parametrize("n,xc,cr,w", [(4096, 256, 4, 16), (3000, 256, 4, 16)])
+def test_hybrid_sort_matches_lax_sort(n, xc, cr, w):
+    """XLA-chunk + Pallas-merge hybrid == lax.sort (duplicates, padding)."""
+    from genome_assembly_tpu.ops import bitonic_pallas as bp
+
+    rng = np.random.default_rng(5)
+    hi = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 32, n).astype(np.uint32))
+    hi = hi.at[::7].set(hi[1])
+    got_hi, got_lo = bp.sort_pairs_hybrid(
+        hi, lo, xla_chunk=xc, chunk_rows=cr, width=w, interpret=True
+    )
+    want_hi, want_lo = jax.lax.sort((hi, lo), num_keys=2)
+    assert np.array_equal(np.asarray(got_hi), np.asarray(want_hi))
+    assert np.array_equal(np.asarray(got_lo), np.asarray(want_lo))

@@ -43,9 +43,16 @@ def main() -> int:
     ap.add_argument(
         "--tpu-ext-limit",
         type=int,
-        default=4_000_000,
+        default=64_000_000,
         help="state count above which the extension graph runs on the CPU "
-        "backend (relayed-TPU kernel fault workaround, NOTES.md)",
+        "backend (the old gather-loop TPU kernel fault is fixed by the "
+        "sort-join link builder; verified on-chip at 16.7M states)",
+    )
+    ap.add_argument(
+        "--pallas-sort",
+        action="store_true",
+        help="count with the hybrid XLA-chunk + Pallas-merge sort "
+        "(ops/bitonic_pallas.sort_pairs_hybrid)",
     )
     args = ap.parse_args()
     cfg = PRESETS[args.preset]
@@ -114,7 +121,7 @@ def main() -> int:
             kmer_lo=lo_all,
             valid=hi_all != jnp.uint32(0xFFFFFFFF),
         )
-        kc = count_ops.count_keys(recs, cutoff=CUTOFF)
+        kc = count_ops.count_keys(recs, cutoff=CUTOFF, pallas_sort=args.pallas_sort)
         khi, klo, valid = count_ops.kept_keys_sorted(kc)
         n_distinct = jnp.sum(kc.group_start & kc.valid)
         n_kept = jnp.sum(kc.keep)
