@@ -89,12 +89,19 @@ def _chunk_kernel(hi_ref, lo_ref, ohi_ref, olo_ref, *, chunk_rows, width, sizes)
 
 
 def _big_ce_kernel(
-    shi_ref, slo_ref, ohi_in_ref, olo_in_ref, ohi_ref, olo_ref, *, per,
-    block_rows, width, size
+    scal_ref, shi_ref, slo_ref, ohi_in_ref, olo_in_ref, ohi_ref, olo_ref, *,
+    block_rows, width
 ):
     """Compare-exchange each row block with its partner at row distance
     per*block_rows; block i is the lower half of its pair iff (i & per)==0.
-    Every block is written exactly once (identity-mapped output)."""
+    Every block is written exactly once (identity-mapped output).
+
+    per and size arrive as prefetched scalars (scal_ref = [per, size]), so
+    ONE compiled kernel serves every big stage of every merge level --
+    otherwise each (distance, level) pair is its own multi-minute remote
+    Mosaic compile."""
+    per = scal_ref[0]
+    size = scal_ref[1]
     i = pl.program_id(0)
     is_a = (i & per) == 0
     row0 = i * block_rows
@@ -108,6 +115,50 @@ def _big_ce_kernel(
     keep_self = self_le == (is_a == dir_up)
     ohi_ref[:, :] = (jnp.where(keep_self, s_hi, o_hi) ^ _FLIP).astype(jnp.uint32)
     olo_ref[:, :] = (jnp.where(keep_self, s_lo, o_lo) ^ _FLIP).astype(jnp.uint32)
+
+
+def _finish_kernel(size_ref, hi_ref, lo_ref, ohi_ref, olo_ref, *, chunk_rows, width):
+    """All sub-chunk stages (chunk/2 .. 1) of ONE merge level, in VMEM.
+
+    The level's ``size`` is a prefetched scalar so a single compiled kernel
+    finishes every level of every sort size."""
+    chunk = chunk_rows * width
+    base = pl.program_id(0) * chunk
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (chunk_rows, width), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (chunk_rows, width), 1)
+    pos = base + rows_i * width + cols_i
+    size = size_ref[0]
+    hi = hi_ref[:, :].astype(jnp.int32) ^ _FLIP
+    lo = lo_ref[:, :].astype(jnp.int32) ^ _FLIP
+    d = chunk // 2
+    while d >= 1:
+        hi, lo = _stage(hi, lo, pos, d, size, width)
+        d //= 2
+    ohi_ref[:, :] = (hi ^ _FLIP).astype(jnp.uint32)
+    olo_ref[:, :] = (lo ^ _FLIP).astype(jnp.uint32)
+
+
+def _run_finish(hi2, lo2, size, *, chunk_rows, width, interpret):
+    rows = hi2.shape[0]
+    grid = (rows // chunk_rows,)
+    spec = pl.BlockSpec(
+        (chunk_rows, width), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+    )
+    return pl.pallas_call(
+        functools.partial(_finish_kernel, chunk_rows=chunk_rows, width=width),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(hi2.shape, jnp.uint32),
+            jax.ShapeDtypeStruct(lo2.shape, jnp.uint32),
+        ],
+        interpret=interpret,
+    )(jnp.array([size], dtype=jnp.int32), hi2, lo2)
 
 
 def _run_chunk_pass(hi2, lo2, sizes, *, chunk_rows, width, interpret):
@@ -139,25 +190,28 @@ def _run_big_ce(hi2, lo2, d, size, *, width, interpret):
     grid = (rows // block_rows,)
 
     spec_self = pl.BlockSpec(
-        (block_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (block_rows, width), lambda i, s: (i, 0), memory_space=pltpu.VMEM
     )
     spec_other = pl.BlockSpec(
-        (block_rows, width), lambda i: (i ^ per, 0), memory_space=pltpu.VMEM
+        (block_rows, width), lambda i, s: (i ^ s[0], 0), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
-        functools.partial(
-            _big_ce_kernel,
-            per=per,
-            block_rows=block_rows,
-            width=width,
-            size=size,
-        ),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[spec_self, spec_self, spec_other, spec_other],
         out_specs=[spec_self, spec_self],
+    )
+    scal = jnp.array([per, size], dtype=jnp.int32)
+    return pl.pallas_call(
+        functools.partial(
+            _big_ce_kernel,
+            block_rows=block_rows,
+            width=width,
+        ),
+        grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(hi2.shape, jnp.uint32)] * 2,
         interpret=interpret,
-    )(hi2, lo2, hi2, lo2)
+    )(scal, hi2, lo2, hi2, lo2)
 
 
 @functools.partial(
@@ -213,8 +267,8 @@ def sort_pairs(
             )
             d //= 2
         # finish the level's sub-chunk stages in one VMEM pass
-        hi2, lo2 = _run_chunk_pass(
-            hi2, lo2, [size], chunk_rows=chunk_rows, width=width,
+        hi2, lo2 = _run_finish(
+            hi2, lo2, size, chunk_rows=chunk_rows, width=width,
             interpret=interpret,
         )
         size *= 2
@@ -285,8 +339,8 @@ def sort_pairs_hybrid(
         while d >= pallas_chunk:
             h2, l2 = _run_big_ce(h2, l2, d, size, width=width, interpret=interpret)
             d //= 2
-        h2, l2 = _run_chunk_pass(
-            h2, l2, [size], chunk_rows=chunk_rows, width=width,
+        h2, l2 = _run_finish(
+            h2, l2, size, chunk_rows=chunk_rows, width=width,
             interpret=interpret,
         )
         size *= 2

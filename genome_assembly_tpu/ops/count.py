@@ -121,14 +121,17 @@ def count_and_prune(
     khi = records.kmer_hi.reshape(n)
     klo = records.kmer_lo.reshape(n)
     rid = jnp.broadcast_to(read_ids[:, None], (batch, n_win)).reshape(n)
-    valid_flat = records.valid.reshape(n)
     stream = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(stream_offset)
 
     # Stable lexicographic sort by (mmer, hi, lo); payload rides along, so
-    # equal keys keep stream order == ascending (read_id, window).
-    mmer_s, khi_s, klo_s, rid_s, stream_s, valid_s = lax.sort(
-        (mmer, khi, klo, rid, stream, valid_flat), num_keys=3, is_stable=True
+    # equal keys keep stream order == ascending (read_id, window).  The
+    # valid flag is NOT a sort operand: invalid records hold SENTINEL
+    # mmers, so validity is recoverable from the sorted key lane (one
+    # less lane through the sort).
+    mmer_s, khi_s, klo_s, rid_s, stream_s = lax.sort(
+        (mmer, khi, klo, rid, stream), num_keys=3, is_stable=True
     )
+    valid_s = mmer_s != SENTINEL
 
     prev_same = jnp.concatenate(
         [
@@ -255,10 +258,12 @@ def merge_sorted_tables(tables: list[CountedTable], *, cutoff: int) -> CountedTa
     n = mmer.shape[0]
     mmer = jnp.where(valid, mmer, SENTINEL)
     # Sort with the global stream index as a key so per-group payload order
-    # is stream order even though the inputs were per-batch sorted.
-    mmer_s, khi_s, klo_s, stream_s, rid_s, valid_s = lax.sort(
-        (mmer, khi, klo, stream, rid, valid), num_keys=4, is_stable=True
+    # is stream order even though the inputs were per-batch sorted; the
+    # valid flag is recomputed from the sentinel key lane.
+    mmer_s, khi_s, klo_s, stream_s, rid_s = lax.sort(
+        (mmer, khi, klo, stream, rid), num_keys=4, is_stable=True
     )
+    valid_s = mmer_s != SENTINEL
     prev_same = jnp.concatenate(
         [
             jnp.zeros((1,), dtype=bool),

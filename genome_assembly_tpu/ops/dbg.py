@@ -289,14 +289,27 @@ def pointer_jump(next_state: jnp.ndarray) -> CompactedGraph:
     rank = (pred >= 0).astype(jnp.int32)
     min_id = jnp.minimum(ids, parent)
 
-    def body(_, carry):
-        parent, rank, min_id = carry
+    # Doubling with early exit: rounds needed = log2(longest chain), which
+    # on real data is far below log2(2N) (only a genome-spanning unitig
+    # needs them all); parents of acyclic states stop changing once
+    # absorbed, and cycles keep rotating, so "no parent moved" is exact
+    # convergence for the acyclic part while cycle min-propagation is
+    # already complete by then (the window covers the whole cycle).
+    def cond(carry):
+        _, _, _, r, changed = carry
+        return (r < steps) & changed
+
+    def body(carry):
+        parent, rank, min_id, r, _ = carry
         rank2 = rank + rank[parent]
         min2 = jnp.minimum(min_id, min_id[parent])
         parent2 = parent[parent]
-        return parent2, rank2, min2
+        changed = jnp.any(parent2 != parent)
+        return parent2, rank2, min2, r + 1, changed
 
-    parent, rank, min_id = lax.fori_loop(0, steps, body, (parent, rank, min_id))
+    parent, rank, min_id, _, _ = lax.while_loop(
+        cond, body, (parent, rank, min_id, jnp.int32(0), jnp.bool_(True))
+    )
 
     # Acyclic states absorbed at the head (whose pred is -1).  Cyclic
     # states' parent is still somewhere on the cycle: pred[parent] >= 0.

@@ -153,12 +153,14 @@ def _scan_and_route(
 
 def _local_count(r_mmer, r_khi, r_klo, r_rid, r_stream, r_valid, overflow):
     """Sort-and-count the records this shard owns (groups are complete)."""
-    # sort by key then stream for stable per-group read-id order
-    m_s, hi_s, lo_s, st_s, id_s, v_s = lax.sort(
-        (r_mmer, r_khi, r_klo, r_stream, r_rid, r_valid),
+    # sort by key then stream for stable per-group read-id order; validity
+    # rides in the sentinel mmer lane rather than as a 6th sort operand
+    m_s, hi_s, lo_s, st_s, id_s = lax.sort(
+        (r_mmer, r_khi, r_klo, r_stream, r_rid),
         num_keys=4,
         is_stable=True,
     )
+    v_s = m_s != SENTINEL
     prev_same = jnp.concatenate(
         [
             jnp.zeros((1,), dtype=bool),
