@@ -67,3 +67,64 @@ def test_read_id_lists_descending_with_duplicates():
         assert ids == sorted(ids, reverse=True)
     want = model.count_table(model.scan_reads(reads, k, m), 1)
     assert got == want
+
+
+def test_partitioned_count_equals_direct():
+    """Out-of-core multi-pass counting (ops/outofcore.py) == one-shot
+    count_keys: same distinct/kept totals and the same kept key set."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import count as count_ops
+    from genome_assembly_tpu.ops import minimizer, outofcore
+
+    k, m, cutoff = 15, 7, 1
+    rng = np.random.default_rng(17)
+    genome = rng.integers(0, 4, size=2500, dtype=np.uint8)
+    n_batches, batch, L = 3, 64, 64
+    starts = rng.integers(0, len(genome) - L, size=(n_batches, batch))
+    all_hi, all_lo = [], []
+
+    def batch_keys(b):
+        codes = np.stack([genome[s : s + L] for s in starts[b]])
+        recs = minimizer.fast_scan(
+            jnp.asarray(codes), jnp.full((batch,), L, jnp.int32), k=k, m=m
+        )
+        sent = jnp.uint32(0xFFFFFFFF)
+        hi = jnp.where(recs.valid, recs.kmer_hi, sent).reshape(-1)
+        lo = jnp.where(recs.valid, recs.kmer_lo, sent).reshape(-1)
+        return hi, lo
+
+    pc = outofcore.partitioned_count(
+        batch_keys, n_batches, partitions=4, cutoff=cutoff, kept_cap=4096,
+        slack=2.0,
+    )
+    assert pc.batch_overflows == 0 and not pc.kept_overflow
+
+    for b in range(n_batches):
+        hi, lo = batch_keys(b)
+        all_hi.append(hi)
+        all_lo.append(lo)
+    hi = jnp.concatenate(all_hi)
+    recs = minimizer.WindowRecords(
+        mmer=jnp.zeros((0,), jnp.uint32),
+        kmer_hi=hi,
+        kmer_lo=jnp.concatenate(all_lo),
+        valid=hi != jnp.uint32(0xFFFFFFFF),
+    )
+    kc = count_ops.count_keys(recs, cutoff=cutoff)
+    assert pc.n_distinct == int(np.sum(np.asarray(kc.group_start & kc.valid)))
+    assert pc.n_kept == int(np.sum(np.asarray(kc.keep)))
+    khi, klo, valid = count_ops.kept_keys_sorted(kc)
+    want = {
+        (int(a), int(b))
+        for a, b, v in zip(np.asarray(khi), np.asarray(klo), np.asarray(valid))
+        if v
+    }
+    got = {
+        (int(a), int(b))
+        for a, b, v in zip(
+            np.asarray(pc.kmer_hi), np.asarray(pc.kmer_lo), np.asarray(pc.valid)
+        )
+        if v
+    }
+    assert got == want

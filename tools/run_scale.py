@@ -48,6 +48,16 @@ def main() -> int:
         "backend (the old gather-loop TPU kernel fault is fixed by the "
         "sort-join link builder; verified on-chip at 16.7M states)",
     )
+    ap.add_argument("--count-only", action="store_true",
+                    help="stop after the count (skip dBG compaction)")
+    ap.add_argument(
+        "--partitions",
+        type=int,
+        default=0,
+        help="out-of-core passes for the count (0 = auto from a ~4 GB "
+        "record budget; 1 = in-core).  Each pass re-scans the reads and "
+        "counts one key-hash partition fully on device (ops/outofcore.py)",
+    )
     ap.add_argument(
         "--pallas-sort",
         action="store_true",
@@ -149,35 +159,75 @@ def main() -> int:
     float(genome[0])
     emit("genome", wall_s=round(time.perf_counter() - t0, 3))
 
-    t0 = time.perf_counter()
-    his, los = [], []
-    for b in range(n_batches):
-        hi, lo = simulate_and_scan(genome, kr, b)
-        his.append(hi)
-        los.append(lo)
-    hi_all = jnp.concatenate(his)
-    lo_all = jnp.concatenate(los)
-    float(hi_all[-1])
-    scan_wall = time.perf_counter() - t0
-    emit(
-        "scan",
-        wall_s=round(scan_wall, 3),
-        windows_per_s=round(total_slots / scan_wall, 1),
-    )
+    partitions = args.partitions
+    if partitions == 0:
+        budget = 2 * (1 << 30)  # resident record bytes (sorts need ~3x)
+        partitions = max(1, int(np.ceil(total_slots * 8 / budget)))
+    if partitions > 1:
+        # out-of-core: re-scan per pass; scan+count are interleaved
+        from genome_assembly_tpu.ops import outofcore
 
-    t0 = time.perf_counter()
-    khi, klo, valid, n_distinct, n_kept = global_count(hi_all, lo_all)
-    n_distinct = int(n_distinct)
-    n_kept = int(n_kept)
-    count_wall = time.perf_counter() - t0
-    assert n_kept <= kept_cap, f"raise kept_cap: {n_kept} > {kept_cap}"
-    emit(
-        "count",
-        wall_s=round(count_wall, 3),
-        kmers_counted_per_s=round(total_slots / count_wall, 1),
-        distinct=n_distinct,
-        kept=n_kept,
-    )
+        emit("outofcore", partitions=partitions)
+        t0 = time.perf_counter()
+        pc = outofcore.partitioned_count(
+            lambda b: simulate_and_scan(genome, kr, b),
+            n_batches,
+            partitions=partitions,
+            cutoff=CUTOFF,
+            kept_cap=kept_cap,
+            pallas_sort=args.pallas_sort,
+        )
+        assert pc.batch_overflows == 0, "raise outofcore slack"
+        assert not pc.kept_overflow, f"raise kept_cap (kept={pc.n_kept})"
+        khi, klo, valid = pc.kmer_hi, pc.kmer_lo, pc.valid
+        kept_cap = khi.shape[0]
+        n_distinct, n_kept = pc.n_distinct, pc.n_kept
+        scan_wall = 0.0
+        count_wall = time.perf_counter() - t0
+        emit(
+            "count",
+            wall_s=round(count_wall, 3),
+            kmers_counted_per_s=round(total_slots / count_wall, 1),
+            distinct=n_distinct,
+            kept=n_kept,
+            passes=partitions,
+        )
+    else:
+        t0 = time.perf_counter()
+        his, los = [], []
+        for b in range(n_batches):
+            hi, lo = simulate_and_scan(genome, kr, b)
+            his.append(hi)
+            los.append(lo)
+        hi_all = jnp.concatenate(his)
+        lo_all = jnp.concatenate(los)
+        float(hi_all[-1])
+        scan_wall = time.perf_counter() - t0
+        emit(
+            "scan",
+            wall_s=round(scan_wall, 3),
+            windows_per_s=round(total_slots / scan_wall, 1),
+        )
+
+        t0 = time.perf_counter()
+        khi, klo, valid, n_distinct, n_kept = global_count(hi_all, lo_all)
+        n_distinct = int(n_distinct)
+        n_kept = int(n_kept)
+        count_wall = time.perf_counter() - t0
+        assert n_kept <= kept_cap, f"raise kept_cap: {n_kept} > {kept_cap}"
+        emit(
+            "count",
+            wall_s=round(count_wall, 3),
+            kmers_counted_per_s=round(total_slots / count_wall, 1),
+            distinct=n_distinct,
+            kept=n_kept,
+        )
+
+    if args.count_only:
+        emit("total", wall_s=round(scan_wall + count_wall, 3),
+             end_to_end_kmers_per_s=round(
+                 total_slots / max(scan_wall + count_wall, 1e-9), 1))
+        return 0
 
     t0 = time.perf_counter()
     # dbg compaction above ~8M states faults the relayed TPU worker
