@@ -114,6 +114,14 @@ class FastAssembler:
         self.config = config or PipelineConfig(parity=False)
         if self.config.parity:
             raise ValueError("FastAssembler requires parity=False config")
+        if self.config.k % 2 == 0:
+            # fail before any device work: the dBG phase needs odd k (no
+            # reverse-complement palindromes), and surfacing that only
+            # after counting wastes a large scan+sort (or a remote compile)
+            raise ValueError(
+                "fast-mode assembly requires odd k (reverse-complement "
+                f"palindromes break dBG strand pairing); got k={self.config.k}"
+            )
         self.counter = CountPipeline(self.config)
 
     def load(self, path: str) -> List[str]:
