@@ -91,12 +91,18 @@ def partitioned_count(
     kept_cap: int,
     slack: float = 1.6,
     pallas_sort: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> PartitionedCount:
     """Count n_batches record batches in ``partitions`` re-scan passes.
 
     batch_keys(i) -> (hi, lo) flat uint32 key lanes for batch i (invalid =
     SENTINEL); called P times per batch, so it should be a cheap jitted
     regeneration (device read simulation, or a re-streamed file read).
+
+    checkpoint_dir: if given, each completed partition's kept keys land in
+    ``part_<p>.npz`` there and are skipped on re-run -- a killed
+    chromosome-scale job resumes at its last finished pass (the elasticity
+    model of SURVEY.md 5.3/5.4: passes are idempotent and independent).
     """
     probe_hi, probe_lo = batch_keys(0)
     batch_slots = int(probe_hi.shape[0])
@@ -106,12 +112,27 @@ def partitioned_count(
     )
     per_part_kept = max(1, kept_cap // partitions)
 
+    ckpt = None
+    if checkpoint_dir is not None:
+        import pathlib
+
+        ckpt = pathlib.Path(checkpoint_dir)
+        ckpt.mkdir(parents=True, exist_ok=True)
+
     khi_parts, klo_parts = [], []
     n_distinct = 0
     n_kept = 0
     batch_overflows = 0
     kept_overflow = False
     for p in range(partitions):
+        if ckpt is not None and (ckpt / f"part_{p}.npz").exists():
+            saved = np.load(ckpt / f"part_{p}.npz")
+            khi_parts.append(jnp.asarray(saved["khi"]))
+            klo_parts.append(jnp.asarray(saved["klo"]))
+            n_distinct += int(saved["n_distinct"])
+            n_kept += int(saved["n_kept"])
+            kept_overflow |= bool(saved["kept_overflow"])
+            continue
         pieces_hi, pieces_lo = [], []
         for b in range(n_batches):
             hi, lo = batch_keys(b)
@@ -135,6 +156,18 @@ def partitioned_count(
         khi, klo, _ = count_ops.kept_keys_sorted(kc)
         khi_parts.append(khi[:per_part_kept])
         klo_parts.append(klo[:per_part_kept])
+        if ckpt is not None:
+            # savez appends ".npz" unless the name already ends with it
+            tmp = ckpt / f"part_{p}.tmp.npz"
+            np.savez_compressed(
+                tmp,
+                khi=np.asarray(khi_parts[-1]),
+                klo=np.asarray(klo_parts[-1]),
+                n_distinct=np.int64(int(jnp.sum(kc.group_start & kc.valid))),
+                n_kept=np.int64(n_kept_p),
+                kept_overflow=np.bool_(n_kept_p > per_part_kept),
+            )
+            tmp.rename(ckpt / f"part_{p}.npz")
 
     kmer_hi = jnp.concatenate(khi_parts)
     kmer_lo = jnp.concatenate(klo_parts)

@@ -128,3 +128,41 @@ def test_partitioned_count_equals_direct():
         if v
     }
     assert got == want
+
+
+def test_partitioned_count_resume(tmp_path):
+    """A killed out-of-core run resumes from completed partitions: with all
+    partitions checkpointed, batch_keys is never called again."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import minimizer, outofcore
+
+    k, m = 15, 7
+    rng = np.random.default_rng(23)
+    genome = rng.integers(0, 4, size=1200, dtype=np.uint8)
+    starts = rng.integers(0, len(genome) - 64, size=(2, 32))
+    calls = []
+
+    def batch_keys(b):
+        calls.append(b)
+        codes = np.stack([genome[s : s + 64] for s in starts[b]])
+        recs = minimizer.fast_scan(
+            jnp.asarray(codes), jnp.full((32,), 64, jnp.int32), k=k, m=m
+        )
+        sent = jnp.uint32(0xFFFFFFFF)
+        return (
+            jnp.where(recs.valid, recs.kmer_hi, sent).reshape(-1),
+            jnp.where(recs.valid, recs.kmer_lo, sent).reshape(-1),
+        )
+
+    kw = dict(partitions=3, cutoff=0, kept_cap=4096, slack=2.0,
+              checkpoint_dir=str(tmp_path))
+    a = outofcore.partitioned_count(batch_keys, 2, **kw)
+    assert a.batch_overflows == 0
+    first_calls = len(calls)
+    calls.clear()
+    b = outofcore.partitioned_count(batch_keys, 2, **kw)
+    assert calls == [0]  # only the shape probe; every partition resumed
+    assert (a.n_distinct, a.n_kept) == (b.n_distinct, b.n_kept)
+    assert np.array_equal(np.asarray(a.kmer_hi), np.asarray(b.kmer_hi))
+    assert np.array_equal(np.asarray(a.kmer_lo), np.asarray(b.kmer_lo))
