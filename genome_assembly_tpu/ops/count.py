@@ -230,14 +230,16 @@ def kept_keys_sorted(kc: KeyCounts):
     """Compact kept group-start keys to the front (sorted by key already).
 
     Returns (hi, lo, valid) shaped like the input, sentinel-padded -- the
-    exact input format ops/dbg.py expects.
+    exact input format ops/dbg.py expects.  Kept keys are distinct and
+    already in ascending order, so masking the rest to SENTINEL and
+    re-sorting the two key lanes compacts them in order -- no stable
+    3-lane flag sort needed (that sort was the peak-memory step of
+    out-of-core passes).
     """
     sentinel = jnp.uint32(0xFFFFFFFF)
     hi = jnp.where(kc.keep, kc.kmer_hi, sentinel)
     lo = jnp.where(kc.keep, kc.kmer_lo, sentinel)
-    # stable compaction: sort by (is-sentinel) flag preserves key order
-    flag = (~kc.keep).astype(jnp.uint32)
-    _, hi_c, lo_c = lax.sort((flag, hi, lo), num_keys=1, is_stable=True)
+    hi_c, lo_c = lax.sort((hi, lo), num_keys=2)
     return hi_c, lo_c, hi_c != sentinel
 
 

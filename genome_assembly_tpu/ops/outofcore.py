@@ -142,18 +142,24 @@ def partitioned_count(
             pieces_hi.append(phi)
             pieces_lo.append(plo)
             batch_overflows += int(ovf)
+        cat_hi = jnp.concatenate(pieces_hi)
+        cat_lo = jnp.concatenate(pieces_lo)
+        del pieces_hi, pieces_lo  # free the staging copies before counting
         recs = WindowRecords(
             mmer=jnp.zeros((0,), jnp.uint32),
-            kmer_hi=jnp.concatenate(pieces_hi),
-            kmer_lo=jnp.concatenate(pieces_lo),
-            valid=jnp.concatenate(pieces_hi) != SENTINEL,
+            kmer_hi=cat_hi,
+            kmer_lo=cat_lo,
+            valid=cat_hi != SENTINEL,
         )
         kc = count_ops.count_keys(recs, cutoff=cutoff, pallas_sort=pallas_sort)
-        n_distinct += int(jnp.sum(kc.group_start & kc.valid))
+        del recs, cat_hi, cat_lo  # the sorted copies in kc supersede these
+        n_distinct_p = int(jnp.sum(kc.group_start & kc.valid))
+        n_distinct += n_distinct_p
         n_kept_p = int(jnp.sum(kc.keep))
         n_kept += n_kept_p
         kept_overflow |= n_kept_p > per_part_kept
         khi, klo, _ = count_ops.kept_keys_sorted(kc)
+        del kc
         khi_parts.append(khi[:per_part_kept])
         klo_parts.append(klo[:per_part_kept])
         if ckpt is not None:
@@ -163,7 +169,7 @@ def partitioned_count(
                 tmp,
                 khi=np.asarray(khi_parts[-1]),
                 klo=np.asarray(klo_parts[-1]),
-                n_distinct=np.int64(int(jnp.sum(kc.group_start & kc.valid))),
+                n_distinct=np.int64(n_distinct_p),
                 n_kept=np.int64(n_kept_p),
                 kept_overflow=np.bool_(n_kept_p > per_part_kept),
             )

@@ -161,7 +161,7 @@ def main() -> int:
 
     partitions = args.partitions
     if partitions == 0:
-        budget = 2 * (1 << 30)  # resident record bytes (sorts need ~3x)
+        budget = 1 << 30  # resident record bytes (count+compact peak ~6x)
         partitions = max(1, int(np.ceil(total_slots * 8 / budget)))
     if partitions > 1:
         # out-of-core: re-scan per pass; scan+count are interleaved
