@@ -33,10 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-SENTINEL = np.uint32(0xFFFFFFFF)  # np, not jnp: a module-level jnp scalar
-# would initialize the default (TPU) backend at import time, before any
-# CLI --cpu switch, and its later constant-fetch can block behind an
-# unrelated TPU process on the relay.
+from genome_assembly_tpu.common import SENTINEL
 
 
 def _ce_rolled(hi, lo, d):

@@ -43,10 +43,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SENTINEL = np.uint32(0xFFFFFFFF)  # np, not jnp: a module-level jnp scalar
-# would initialize the default (TPU) backend at import time, before any
-# CLI --cpu switch, and its later constant-fetch can block behind an
-# unrelated TPU process on the relay.
+from genome_assembly_tpu.common import SENTINEL
 _FLIP = -0x80000000  # python int: jnp scalars may not be closed over in kernels
 
 

@@ -31,10 +31,7 @@ from jax import lax
 from genome_assembly_tpu.ops.minimizer import WindowRecords
 
 # Sentinel mmer for padding/invalid records: real mmers are < 2^30.
-SENTINEL = np.uint32(0xFFFFFFFF)  # np, not jnp: a module-level jnp scalar
-# would initialize the default (TPU) backend at import time, before any
-# CLI --cpu switch, and its later constant-fetch can block behind an
-# unrelated TPU process on the relay.
+from genome_assembly_tpu.common import SENTINEL
 
 
 def group_counts(group_start: jnp.ndarray) -> jnp.ndarray:
@@ -191,10 +188,11 @@ def count_keys(
     sentinel = jnp.uint32(0xFFFFFFFF)
     hi = jnp.where(records.valid, records.kmer_hi, sentinel).reshape(n)
     lo = jnp.where(records.valid, records.kmer_lo, sentinel).reshape(n)
-    if pallas_sort:
-        # XLA chunk sorts + Pallas bitonic merges (ops/bitonic_pallas.py):
-        # beats the monolithic lax.sort once n exceeds ~4M, where XLA's
-        # sort degrades superlinearly; identical below (it falls back)
+    if pallas_sort and jax.default_backend() == "tpu":
+        # XLA chunk sorts + Pallas bitonic merges (ops/bitonic_pallas.py);
+        # experimental backend, see NOTES.md measurements.  Guarded: the
+        # Mosaic kernels do not lower on CPU, so pallas_sort degrades to
+        # lax.sort there instead of crashing mid-run.
         from genome_assembly_tpu.ops import bitonic_pallas
 
         hi_s, lo_s = bitonic_pallas.sort_pairs_hybrid(hi, lo)

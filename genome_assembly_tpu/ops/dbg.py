@@ -315,6 +315,12 @@ def pointer_jump(next_state: jnp.ndarray) -> CompactedGraph:
     # states' parent is still somewhere on the cycle: pred[parent] >= 0.
     is_cycle = pred[parent] >= 0
     head = jnp.where(is_cycle, min_id, parent)
+    # Cycle ranks would be a function of the round count (the early exit
+    # above stops as soon as parents stabilize, which for a 2^j-cycle is
+    # earlier than the fixed bound): zero them so every implementation --
+    # early-exit, fixed-round, sharded, partitioned -- agrees exactly.
+    # Consumers re-rank cycles by walking them (materialize_unitigs).
+    rank = jnp.where(is_cycle, 0, rank)
     return CompactedGraph(
         next_state=next_state, head=head, rank=rank, is_cycle=is_cycle
     )

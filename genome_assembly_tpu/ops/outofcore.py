@@ -36,9 +36,11 @@ from jax import lax
 from genome_assembly_tpu.ops import count as count_ops
 from genome_assembly_tpu.ops.minimizer import WindowRecords
 
-SENTINEL = np.uint32(0xFFFFFFFF)
-_HASH_A = np.uint32(2654435761)
-_HASH_B = np.uint32(0x9E3779B1)
+from genome_assembly_tpu.common import (
+    HASH_A as _HASH_A,
+    HASH_B as _HASH_B,
+    SENTINEL,
+)
 
 
 def key_partition(hi: jnp.ndarray, lo: jnp.ndarray, partitions: int) -> jnp.ndarray:
@@ -114,10 +116,31 @@ def partitioned_count(
 
     ckpt = None
     if checkpoint_dir is not None:
+        import json
         import pathlib
 
         ckpt = pathlib.Path(checkpoint_dir)
         ckpt.mkdir(parents=True, exist_ok=True)
+        # fingerprint: partition checkpoints are only valid for the exact
+        # run parameters (a different partition count remaps every key)
+        fp = {
+            "partitions": partitions,
+            "cutoff": cutoff,
+            "kept_cap": kept_cap,
+            "slack": slack,
+            "n_batches": n_batches,
+            "batch_slots": batch_slots,
+        }
+        meta_path = ckpt / "meta.json"
+        if meta_path.exists():
+            old = json.loads(meta_path.read_text())
+            if old != fp:
+                raise ValueError(
+                    f"checkpoint_dir {ckpt} was written by a different "
+                    f"configuration: {old} != {fp}; use a fresh directory"
+                )
+        else:
+            meta_path.write_text(json.dumps(fp))
 
     khi_parts, klo_parts = [], []
     n_distinct = 0
@@ -132,8 +155,12 @@ def partitioned_count(
             n_distinct += int(saved["n_distinct"])
             n_kept += int(saved["n_kept"])
             kept_overflow |= bool(saved["kept_overflow"])
+            batch_overflows += int(saved["batch_overflows"])
             continue
         pieces_hi, pieces_lo = [], []
+        # accumulate overflow on device; ONE readback per pass (a per-batch
+        # int() would block the dispatch pipeline on the relay every batch)
+        ovf_dev = jnp.int32(0)
         for b in range(n_batches):
             hi, lo = batch_keys(b)
             phi, plo, ovf = extract_partition(
@@ -141,7 +168,9 @@ def partitioned_count(
             )
             pieces_hi.append(phi)
             pieces_lo.append(plo)
-            batch_overflows += int(ovf)
+            ovf_dev = ovf_dev + ovf.astype(jnp.int32)
+        pass_overflows = int(ovf_dev)
+        batch_overflows += pass_overflows
         cat_hi = jnp.concatenate(pieces_hi)
         cat_lo = jnp.concatenate(pieces_lo)
         del pieces_hi, pieces_lo  # free the staging copies before counting
@@ -172,6 +201,7 @@ def partitioned_count(
                 n_distinct=np.int64(n_distinct_p),
                 n_kept=np.int64(n_kept_p),
                 kept_overflow=np.bool_(n_kept_p > per_part_kept),
+                batch_overflows=np.int64(pass_overflows),
             )
             tmp.rename(ckpt / f"part_{p}.npz")
 

@@ -101,9 +101,7 @@ def _unpack_answers(ans_blocks, bookkeeping, q, misses, n_shards):
     return outs
 
 
-# mixing constants for the key -> owner hash (spreads both lanes)
-_HASH_A = np.uint32(2654435761)
-_HASH_B = np.uint32(0x9E3779B1)
+from genome_assembly_tpu.common import HASH_A as _HASH_A, HASH_B as _HASH_B
 
 
 def _key_owner(qhi, qlo, n_shards):
@@ -435,6 +433,7 @@ def _jump_body(next_l, *, n2, n_shards, rows2, cap, steps):
     )
     is_cycle = p_pred >= 0
     head = jnp.where(is_cycle, min_id, parent)
+    rank = jnp.where(is_cycle, 0, rank)  # round-count-independent
     overflow = ovf_pred + ovf_rounds + ovf_final
     return head[None], rank[None], is_cycle[None], overflow[None]
 

@@ -32,10 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-SENTINEL = np.uint32(0xFFFFFFFF)  # np, not jnp: a module-level jnp scalar
-# would initialize the default (TPU) backend at import time, before any
-# CLI --cpu switch, and its later constant-fetch can block behind an
-# unrelated TPU process on the relay.
+from genome_assembly_tpu.common import SENTINEL
 
 
 def _emulated_ragged_a2a(
@@ -73,10 +70,14 @@ def _emulated_ragged_a2a(
 
 def ragged_a2a(
     operand, output, input_offsets, send_sizes, output_offsets, recv_sizes,
-    axis_name,
+    axis_name, *, use_native: bool,
 ):
-    """lax.ragged_all_to_all, or its dense emulation on backends without it."""
-    if jax.default_backend() == "tpu":
+    """lax.ragged_all_to_all, or its dense emulation on backends without it.
+
+    use_native must reflect the MESH's device platform (the caller knows
+    it), not jax.default_backend(): a CPU mesh on a TPU-default machine
+    must take the emulation -- XLA:CPU has no ragged-all-to-all."""
+    if use_native:
         return lax.ragged_all_to_all(
             operand,
             output,
@@ -92,7 +93,9 @@ def ragged_a2a(
     )
 
 
-def route_records_ragged(owner_sorted, payload, *, n_shards, cap_total, axis_name):
+def route_records_ragged(
+    owner_sorted, payload, *, n_shards, cap_total, axis_name, use_native
+):
     """Route owner-sorted records to their owners with exact sizes.
 
     owner_sorted: [n] uint32 ascending owner per record (n_shards = parked
@@ -124,5 +127,6 @@ def route_records_ragged(owner_sorted, payload, *, n_shards, cap_total, axis_nam
         out_off[me],
         granted[:, me],
         axis_name,
+        use_native=use_native,
     )
     return received, dropped

@@ -70,7 +70,7 @@ class ShardedCount(NamedTuple):
 
 def _scan_and_route(
     codes, lengths, read_ids, stream_offset, *, k, m, parity, n_shards, cap,
-    routing="padded",
+    routing="padded", ragged_native=False,
 ):
     """Per-shard body: local scan -> bucketize by owner -> all_to_all ->
     local sort/count.  Shapes: codes [rows, L]; returns [n_shards, cap]
@@ -105,7 +105,7 @@ def _scan_and_route(
         payload = jnp.stack([mmer_s, khi_s, klo_s, rid_s, stream_s], axis=1)
         received, overflow = ragged.route_records_ragged(
             owner_s, payload, n_shards=n_shards, cap_total=cap,
-            axis_name=SHARD_AXIS,
+            axis_name=SHARD_AXIS, use_native=ragged_native,
         )
         r_mmer = received[:, 0]
         r_khi = received[:, 1]
@@ -235,6 +235,10 @@ def sharded_count(
             n_shards=n_shards,
             cap=cap,
             routing=routing,
+            ragged_native=(
+                routing == "ragged"
+                and mesh.devices.flat[0].platform == "tpu"
+            ),
         ),
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),

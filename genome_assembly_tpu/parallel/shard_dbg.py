@@ -193,6 +193,7 @@ def sharded_pointer_jump(next_state: jnp.ndarray, *, mesh: Mesh) -> dbg.Compacte
         )
         is_cycle = pred_full[parent] >= 0
         head = jnp.where(is_cycle, min_id, parent)
+        rank = jnp.where(is_cycle, 0, rank)  # round-count-independent
         return head[None], rank[None], is_cycle[None]
 
     shard_ids = jnp.arange(n2, dtype=jnp.int32).reshape(n_shards, -1)

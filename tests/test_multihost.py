@@ -21,12 +21,17 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
 def test_two_process_count_matches_single_process():
+    import socket
+
+    with socket.socket() as sock:  # grab a free port; avoids collisions
+        sock.bind(("127.0.0.1", 0))
+        port = sock.getsockname()[1]
     with tempfile.TemporaryDirectory() as td:
         out = pathlib.Path(td) / "mh.json"
         env = {
             "PATH": "/usr/bin:/bin",
             "HOME": "/root",
-            "GA_TPU_MH_PORT": "29584",
+            "GA_TPU_MH_PORT": str(port),
         }
         procs = [
             subprocess.Popen(

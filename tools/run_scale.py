@@ -54,7 +54,7 @@ def main() -> int:
         "--partitions",
         type=int,
         default=0,
-        help="out-of-core passes for the count (0 = auto from a ~4 GB "
+        help="out-of-core passes for the count (0 = auto from a ~1 GB "
         "record budget; 1 = in-core).  Each pass re-scans the reads and "
         "counts one key-hash partition fully on device (ops/outofcore.py)",
     )
