@@ -5,9 +5,10 @@ records x 8 B = 23 GB on a 16 GB chip), but the RECORD STREAM is cheap to
 regenerate -- the scan runs at 13.7G windows/s and reads re-stream from
 disk or from the on-device read simulator.  So, KMC-style (PAPERS.md):
 
-  pass p of P:  re-scan every batch, keep only records whose key-hash
-  partition is p (mask -> sort -> fixed-size slice), count partition p
-  entirely in HBM.
+  pass g of ceil(P/3):  re-scan every batch once, extracting THREE
+  partitions per scan (a 2-bit partition tag folded into the key lane's
+  spare top bits makes one batch sort lay all three out as contiguous
+  runs), then count each partition entirely in HBM.
 
 All of a key's duplicates share its hash, so per-partition counts are
 complete and partitions are disjoint: the union of per-partition kept keys
@@ -50,26 +51,55 @@ def key_partition(hi: jnp.ndarray, lo: jnp.ndarray, partitions: int) -> jnp.ndar
     return ((h >> 9) % jnp.uint32(partitions)).astype(jnp.uint32)
 
 
+GROUP = 3  # partitions extracted per scan: the tag rides in the key lane's
+# spare top bits (k <= 31 => hi < 2^30).  NOT 4: tag 3 with hi=0x3FFFFFFF
+# (a poly-A prefix at k=31) would collide with the SENTINEL encoding;
+# tags 0..2 keep every real composite < 0xC0000000, strictly below any
+# sentinel, so membership tests are unambiguous for every k <= 31.
+
+
 @functools.partial(jax.jit, static_argnames=("partitions", "cap_bp"))
-def extract_partition(
-    hi: jnp.ndarray, lo: jnp.ndarray, part: jnp.ndarray, *,
+def extract_partition_group(
+    hi: jnp.ndarray, lo: jnp.ndarray, group: jnp.ndarray, *,
     partitions: int, cap_bp: int
 ):
-    """Keep one partition's records from a batch, compacted to cap_bp slots.
+    """Extract partitions [group*GROUP, (group+1)*GROUP) from one batch.
 
-    hi/lo: flat key lanes (SENTINEL = invalid).  part: partition to keep
-    (traced scalar, so one executable serves all passes).  Non-partition
-    records become SENTINEL; one 2-lane sort compacts real records to the
-    front; the fixed-size head slice is the pass's contribution.
-    Returns (hi[cap_bp], lo[cap_bp], overflowed) -- overflowed means a real
-    record sat at the slice boundary, i.e. cap_bp was too small.
+    hi/lo: flat key lanes (SENTINEL = invalid).  group: traced scalar (one
+    executable serves every pass).  The in-group partition index is folded
+    into bits 30..31 of the hi lane; a single 2-lane sort then lays the
+    GROUP partitions out as contiguous runs with all non-group records at
+    the end, and each run's fixed-size slice starts at a searchsorted
+    boundary.  Returns (hi [GROUP, cap_bp], lo [GROUP, cap_bp],
+    overflows [GROUP]) with non-members masked back to SENTINEL.
     """
-    keep = (key_partition(hi, lo, partitions) == part) & (hi != SENTINEL)
-    hi_m = jnp.where(keep, hi, SENTINEL)
+    pid = key_partition(hi, lo, partitions).astype(jnp.int32)
+    rel = pid - group.astype(jnp.int32) * GROUP
+    keep = (rel >= 0) & (rel < GROUP) & (hi != SENTINEL)
+    rel_u = jnp.where(keep, rel, 0).astype(jnp.uint32)
+    comp = jnp.where(keep, (rel_u << 30) | hi, SENTINEL)
     lo_m = jnp.where(keep, lo, SENTINEL)
-    hi_s, lo_s = lax.sort((hi_m, lo_m), num_keys=2)
-    overflowed = hi_s[cap_bp] != SENTINEL if cap_bp < hi.shape[0] else jnp.bool_(False)
-    return hi_s[:cap_bp], lo_s[:cap_bp], overflowed
+    comp_s, lo_s = lax.sort((comp, lo_m), num_keys=2)
+    n = comp_s.shape[0]
+    bounds = jnp.searchsorted(
+        comp_s, jnp.arange(GROUP, dtype=jnp.uint32) << 30, side="left"
+    ).astype(jnp.int32)
+    his, los, ovfs = [], [], []
+    for r in range(GROUP):
+        start = jnp.clip(bounds[r], 0, n - cap_bp) if cap_bp <= n else 0
+        chi = lax.dynamic_slice_in_dim(comp_s, start, cap_bp)
+        clo = lax.dynamic_slice_in_dim(lo_s, start, cap_bp)
+        member = (chi >> 30) == r  # sentinels decode to tag 3 > any r
+        # slice tails may hold the next run's records; mask them out
+        his.append(jnp.where(member, chi & jnp.uint32((1 << 30) - 1), SENTINEL))
+        los.append(jnp.where(member, clo, SENTINEL))
+        # overflow: the run extends past the slice (the record at
+        # bounds[r] + cap_bp still belongs to r)
+        probe = jnp.clip(bounds[r] + cap_bp, 0, n - 1)
+        ovfs.append(
+            ((comp_s[probe] >> 30) == r) & (bounds[r] + cap_bp < n)
+        )
+    return jnp.stack(his), jnp.stack(los), jnp.stack(ovfs)
 
 
 class PartitionedCount(NamedTuple):
@@ -98,8 +128,9 @@ def partitioned_count(
     """Count n_batches record batches in ``partitions`` re-scan passes.
 
     batch_keys(i) -> (hi, lo) flat uint32 key lanes for batch i (invalid =
-    SENTINEL); called P times per batch, so it should be a cheap jitted
-    regeneration (device read simulation, or a re-streamed file read).
+    SENTINEL); called ceil(P/3) times per batch (each re-scan serves a
+    GROUP of 3 partitions), so it should be a cheap jitted regeneration
+    (device read simulation, or a re-streamed file read).
 
     checkpoint_dir: if given, each completed partition's kept keys land in
     ``part_<p>.npz`` there and are skipped on re-run -- a killed
@@ -142,68 +173,111 @@ def partitioned_count(
         else:
             meta_path.write_text(json.dumps(fp))
 
+    def load_part(p):
+        saved = np.load(ckpt / f"part_{p}.npz")
+        return (
+            jnp.asarray(saved["khi"]),
+            jnp.asarray(saved["klo"]),
+            int(saved["n_distinct"]),
+            int(saved["n_kept"]),
+            bool(saved["kept_overflow"]),
+            int(saved["batch_overflows"]),
+        )
+
     khi_parts, klo_parts = [], []
     n_distinct = 0
     n_kept = 0
     batch_overflows = 0
     kept_overflow = False
-    for p in range(partitions):
-        if ckpt is not None and (ckpt / f"part_{p}.npz").exists():
-            saved = np.load(ckpt / f"part_{p}.npz")
-            khi_parts.append(jnp.asarray(saved["khi"]))
-            klo_parts.append(jnp.asarray(saved["klo"]))
-            n_distinct += int(saved["n_distinct"])
-            n_kept += int(saved["n_kept"])
-            kept_overflow |= bool(saved["kept_overflow"])
-            batch_overflows += int(saved["batch_overflows"])
+    n_groups = (partitions + GROUP - 1) // GROUP
+    for g in range(n_groups):
+        group_parts = [
+            p for p in range(g * GROUP, min((g + 1) * GROUP, partitions))
+        ]
+        missing = [
+            p
+            for p in group_parts
+            if ckpt is None or not (ckpt / f"part_{p}.npz").exists()
+        ]
+        if not missing:
+            for p in group_parts:
+                khi, klo, nd, nk, ko, bo = load_part(p)
+                khi_parts.append(khi)
+                klo_parts.append(klo)
+                n_distinct += nd
+                n_kept += nk
+                kept_overflow |= ko
+                batch_overflows += bo
             continue
-        pieces_hi, pieces_lo = [], []
-        # accumulate overflow on device; ONE readback per pass (a per-batch
-        # int() would block the dispatch pipeline on the relay every batch)
-        ovf_dev = jnp.int32(0)
+
+        # one re-scan serves the whole group: GROUP partition runs per
+        # batch sort, accumulated separately
+        pieces_hi = [[] for _ in range(GROUP)]
+        pieces_lo = [[] for _ in range(GROUP)]
+        # accumulate overflow on device; ONE readback per group (a
+        # per-batch int() would stall the relay dispatch pipeline)
+        ovf_dev = jnp.zeros((GROUP,), jnp.int32)
         for b in range(n_batches):
             hi, lo = batch_keys(b)
-            phi, plo, ovf = extract_partition(
-                hi, lo, jnp.uint32(p), partitions=partitions, cap_bp=cap_bp
+            ghi, glo, ovf = extract_partition_group(
+                hi, lo, jnp.uint32(g), partitions=partitions, cap_bp=cap_bp
             )
-            pieces_hi.append(phi)
-            pieces_lo.append(plo)
+            for r in range(GROUP):
+                pieces_hi[r].append(ghi[r])
+                pieces_lo[r].append(glo[r])
             ovf_dev = ovf_dev + ovf.astype(jnp.int32)
-        pass_overflows = int(ovf_dev)
-        batch_overflows += pass_overflows
-        cat_hi = jnp.concatenate(pieces_hi)
-        cat_lo = jnp.concatenate(pieces_lo)
-        del pieces_hi, pieces_lo  # free the staging copies before counting
-        recs = WindowRecords(
-            mmer=jnp.zeros((0,), jnp.uint32),
-            kmer_hi=cat_hi,
-            kmer_lo=cat_lo,
-            valid=cat_hi != SENTINEL,
-        )
-        kc = count_ops.count_keys(recs, cutoff=cutoff, pallas_sort=pallas_sort)
-        del recs, cat_hi, cat_lo  # the sorted copies in kc supersede these
-        n_distinct_p = int(jnp.sum(kc.group_start & kc.valid))
-        n_distinct += n_distinct_p
-        n_kept_p = int(jnp.sum(kc.keep))
-        n_kept += n_kept_p
-        kept_overflow |= n_kept_p > per_part_kept
-        khi, klo, _ = count_ops.kept_keys_sorted(kc)
-        del kc
-        khi_parts.append(khi[:per_part_kept])
-        klo_parts.append(klo[:per_part_kept])
-        if ckpt is not None:
-            # savez appends ".npz" unless the name already ends with it
-            tmp = ckpt / f"part_{p}.tmp.npz"
-            np.savez_compressed(
-                tmp,
-                khi=np.asarray(khi_parts[-1]),
-                klo=np.asarray(klo_parts[-1]),
-                n_distinct=np.int64(n_distinct_p),
-                n_kept=np.int64(n_kept_p),
-                kept_overflow=np.bool_(n_kept_p > per_part_kept),
-                batch_overflows=np.int64(pass_overflows),
+        group_overflows = np.asarray(ovf_dev)
+
+        for r in range(GROUP):
+            p = g * GROUP + r
+            if p >= partitions:
+                continue
+            if ckpt is not None and (ckpt / f"part_{p}.npz").exists():
+                khi, klo, nd, nk, ko, bo = load_part(p)
+                khi_parts.append(khi)
+                klo_parts.append(klo)
+                n_distinct += nd
+                n_kept += nk
+                kept_overflow |= ko
+                batch_overflows += bo
+                continue
+            pass_overflows = int(group_overflows[r])
+            batch_overflows += pass_overflows
+            cat_hi = jnp.concatenate(pieces_hi[r])
+            cat_lo = jnp.concatenate(pieces_lo[r])
+            pieces_hi[r] = pieces_lo[r] = None  # free staging before count
+            recs = WindowRecords(
+                mmer=jnp.zeros((0,), jnp.uint32),
+                kmer_hi=cat_hi,
+                kmer_lo=cat_lo,
+                valid=cat_hi != SENTINEL,
             )
-            tmp.rename(ckpt / f"part_{p}.npz")
+            kc = count_ops.count_keys(
+                recs, cutoff=cutoff, pallas_sort=pallas_sort
+            )
+            del recs, cat_hi, cat_lo  # kc's sorted copies supersede these
+            n_distinct_p = int(jnp.sum(kc.group_start & kc.valid))
+            n_distinct += n_distinct_p
+            n_kept_p = int(jnp.sum(kc.keep))
+            n_kept += n_kept_p
+            kept_overflow |= n_kept_p > per_part_kept
+            khi, klo, _ = count_ops.kept_keys_sorted(kc)
+            del kc
+            khi_parts.append(khi[:per_part_kept])
+            klo_parts.append(klo[:per_part_kept])
+            if ckpt is not None:
+                # savez appends ".npz" unless the name already ends with it
+                tmp = ckpt / f"part_{p}.tmp.npz"
+                np.savez_compressed(
+                    tmp,
+                    khi=np.asarray(khi_parts[-1]),
+                    klo=np.asarray(klo_parts[-1]),
+                    n_distinct=np.int64(n_distinct_p),
+                    n_kept=np.int64(n_kept_p),
+                    kept_overflow=np.bool_(n_kept_p > per_part_kept),
+                    batch_overflows=np.int64(pass_overflows),
+                )
+                tmp.rename(ckpt / f"part_{p}.npz")
 
     kmer_hi = jnp.concatenate(khi_parts)
     kmer_lo = jnp.concatenate(klo_parts)

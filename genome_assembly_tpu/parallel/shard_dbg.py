@@ -179,13 +179,17 @@ def sharded_pointer_jump(next_state: jnp.ndarray, *, mesh: Mesh) -> dbg.Compacte
 
         def round_body(_, carry):
             parent, rank, min_id = carry
-            # re-replicate this round's full parent/rank/min tables
+            # re-replicate this round's full parent/rank/min tables, then
+            # ONE row gather (per-row scalar-core cost; see
+            # tools/bench_gather2.py) instead of three 1-D gathers
             parent_full = lax.all_gather(parent, SHARD_AXIS, tiled=True)
             rank_full = lax.all_gather(rank, SHARD_AXIS, tiled=True)
             min_full = lax.all_gather(min_id, SHARD_AXIS, tiled=True)
-            rank2 = rank + rank_full[parent]
-            min2 = jnp.minimum(min_id, min_full[parent])
-            parent2 = parent_full[parent]
+            tbl = jnp.stack([parent_full, rank_full, min_full], axis=1)
+            g = tbl[parent]
+            rank2 = rank + g[:, 1]
+            min2 = jnp.minimum(min_id, g[:, 2])
+            parent2 = g[:, 0]
             return parent2, rank2, min2
 
         parent, rank, min_id = lax.fori_loop(
