@@ -50,6 +50,9 @@ def searchsorted2(
     """
     n = hi.shape[0]
     steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    # one [n, 2] row gather per round instead of two 1-D gathers: TPU
+    # gathers are per-row scalar-core bound (tools/bench_gather2.py)
+    tbl = jnp.stack([hi, lo], axis=1)
     # derive the search-bound inits from the queries so their varying-axis
     # type matches the loop carry under shard_map
     lo_b = (qhi * 0).astype(jnp.int32)
@@ -58,8 +61,9 @@ def searchsorted2(
     def body(_, carry):
         lo_b, hi_b = carry
         mid = (lo_b + hi_b) >> 1
-        mh = hi[jnp.clip(mid, 0, n - 1)]
-        ml = lo[jnp.clip(mid, 0, n - 1)]
+        row = tbl[jnp.clip(mid, 0, n - 1)]
+        mh = row[:, 0]
+        ml = row[:, 1]
         less = (mh < qhi) | ((mh == qhi) & (ml < qlo))
         lo_b = jnp.where(less, mid + 1, lo_b)
         hi_b = jnp.where(less, hi_b, mid)

@@ -209,27 +209,23 @@ def _routed_gather(tables, parent, *, rows, n_shards, cap):
 
     recv = _xchg(qbuf).reshape(-1)
     loc = jnp.clip(recv - base, 0, rows - 1)
-    got_blocks = []
-    for t in tables:
-        vals = t[loc]
-        vals = jnp.where(recv >= 0, vals, 0)
-        got_blocks.append(vals.reshape(n_shards, cap))
+    # pack the local tables once: row gathers cost like single-lane ones
+    # (per-row scalar-core bound, tools/bench_gather2.py)
+    tstack = jnp.stack(tables, axis=1)  # [rows, T]
+    got = jnp.where(recv[:, None] >= 0, tstack[loc], 0)  # [n_shards*cap, T]
+    back = _xchg(got.reshape(n_shards, cap, -1))
 
-    outs = []
     head_pos = lax.associative_scan(
         jnp.maximum, jnp.where(gs, idx, -1)
     )  # position of each entry's group head
     loc_q = jnp.clip(par_s - base, 0, rows - 1)
-    for t, g in zip(tables, got_blocks):
-        back = _xchg(g)
-        at_heads = back[jnp.clip(o, 0, n_shards - 1), s]
-        at_heads = jnp.where(ok, at_heads, 0)
-        at_heads = jnp.where(is_local & gs, t[loc_q], at_heads)
-        all_sorted = at_heads[head_pos]
-        out = jnp.zeros((q,), dtype=back.dtype)
-        out = out.at[idx_s].set(all_sorted, mode="drop", unique_indices=True)
-        outs.append(out)
-    return outs, overflow
+    at_heads = back[jnp.clip(o, 0, n_shards - 1), s]  # [q, T]
+    at_heads = jnp.where(ok[:, None], at_heads, 0)
+    at_heads = jnp.where((is_local & gs)[:, None], tstack[loc_q], at_heads)
+    all_sorted = at_heads[head_pos]
+    out2 = jnp.zeros((q, len(tables)), dtype=at_heads.dtype)
+    out2 = out2.at[idx_s].set(all_sorted, mode="drop", unique_indices=True)
+    return [out2[:, t] for t in range(len(tables))], overflow
 
 
 # ---------------------------------------------------------------------------
