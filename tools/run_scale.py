@@ -54,7 +54,7 @@ def main() -> int:
         "--partitions",
         type=int,
         default=0,
-        help="out-of-core passes for the count (0 = auto from a ~1 GB "
+        help="out-of-core passes for the count (0 = auto from a ~3 GB "
         "record budget; 1 = in-core).  Each pass re-scans the reads and "
         "counts one key-hash partition fully on device (ops/outofcore.py)",
     )
@@ -161,7 +161,9 @@ def main() -> int:
 
     partitions = args.partitions
     if partitions == 0:
-        budget = 1 << 30  # resident record bytes (count+compact peak ~6x)
+        budget = 3 * (1 << 30)  # resident record bytes; the count's sort +
+        # 2-lane compaction peak ~4x this, which fits 16 GB HBM (the ecoli
+        # preset, 1.85 GB resident, measured 50x faster in-core than split)
         partitions = max(1, int(np.ceil(total_slots * 8 / budget)))
     if partitions > 1:
         # out-of-core: re-scan per pass; scan+count are interleaved
