@@ -161,10 +161,19 @@ def main() -> int:
 
     partitions = args.partitions
     if partitions == 0:
-        budget = 3 * (1 << 30)  # resident record bytes; the count's sort +
-        # 2-lane compaction peak ~4x this, which fits 16 GB HBM (the ecoli
-        # preset, 1.85 GB resident, measured 50x faster in-core than split)
-        partitions = max(1, int(np.ceil(total_slots * 8 / budget)))
+        # In-core while the full record set fits comfortably (count peak is
+        # ~4x resident; ecoli's 1.85 GB measured 50x faster in-core than
+        # split).  Out-of-core sizing must count the GROUP staging: while
+        # partition r of a group is counted, the group's other partitions'
+        # staging is still resident, so peak ~ (GROUP + 3) x per-partition
+        # bytes -- 1.5 GB per partition keeps a 16 GB chip safe.
+        in_core_limit = 3 * (1 << 30)
+        per_part = 3 * (1 << 29)  # 1.5 GB
+        total_bytes = total_slots * 8
+        if total_bytes <= in_core_limit:
+            partitions = 1
+        else:
+            partitions = int(np.ceil(total_bytes / per_part))
     if partitions > 1:
         # out-of-core: re-scan per pass; scan+count are interleaved
         from genome_assembly_tpu.ops import outofcore
