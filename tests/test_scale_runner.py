@@ -1,0 +1,48 @@
+"""The genome-scale runner end-to-end on CPU (small preset).
+
+Drives tools/run_scale.py as a subprocess -- the same tool the TPU scale
+measurements use -- and checks the pipeline invariants: distinct k-mers,
+kept k-mers, and the out-of-core path agreeing with in-core exactly.
+"""
+
+import json
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _run(*extra):
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools/run_scale.py"), "--preset", "small",
+         "--cpu", *extra],
+        capture_output=True,
+        timeout=600,
+        text=True,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    events = {}
+    for line in out.stdout.splitlines():
+        try:
+            e = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        events[e["event"]] = e
+    return events
+
+
+@pytest.mark.slow
+def test_small_preset_in_core_vs_out_of_core():
+    a = _run("--partitions", "1")
+    b = _run("--partitions", "4")
+    for ev in (a, b):
+        assert ev["count"]["distinct"] == 199961
+        assert ev["count"]["kept"] == 199914
+        assert ev["extension"]["linear_unitigs"] == 10
+        assert ev["extension"]["cyclic_states"] == 0
+    assert (
+        a["extension"]["longest_chain"] == b["extension"]["longest_chain"]
+    )
