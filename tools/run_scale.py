@@ -168,7 +168,8 @@ def main() -> int:
         # staging is still resident, so peak ~ (GROUP + 3) x per-partition
         # bytes -- 1.5 GB per partition keeps a 16 GB chip safe.
         in_core_limit = 3 * (1 << 30)
-        per_part = 3 * (1 << 29)  # 1.5 GB
+        per_part = 1 << 30  # 1 GB (1.5 GB measured OOM: group
+        # staging + the count's masked/sorted copies exceed the chip)
         total_bytes = total_slots * 8
         if total_bytes <= in_core_limit:
             partitions = 1
