@@ -48,6 +48,9 @@ class PipelineConfig:
     max_read_len: int = 128
     pallas_scan: bool = False  # fast mode: use the fused Pallas scan kernel
     pallas_sort: bool = False  # fast mode: Pallas bitonic count sort (TPU only)
+    # fast mode: record bytes above which counting goes out-of-core
+    # (hash-partitioned re-scan passes, ops/outofcore.py)
+    outofcore_bytes: int = 3 << 30
 
     def __post_init__(self) -> None:
         if not (1 <= self.m <= 15):

@@ -164,6 +164,55 @@ class FastAssembler:
             raise ValueError("no reads")
         if len(batches) > 1:
             batches[-1] = reads_io.pad_batch(batches[-1], cfg.batch_reads)
+
+        n_win = cfg.max_read_len - cfg.k + 1
+        total_slots = len(batches) * cfg.batch_reads * n_win
+        if total_slots * 8 > cfg.outofcore_bytes:
+            # record set exceeds comfortable HBM residency: hash-partitioned
+            # multi-pass counting, re-scanning batches per group of three
+            # partitions (ops/outofcore.py)
+            from genome_assembly_tpu.ops import outofcore
+
+            sent = np.uint32(0xFFFFFFFF)
+
+            def batch_keys(b):
+                recs = self.counter.scan(
+                    jnp.asarray(batches[b].codes),
+                    jnp.asarray(batches[b].lengths),
+                )
+                hi = jnp.where(recs.valid, recs.kmer_hi, sent).reshape(-1)
+                lo = jnp.where(recs.valid, recs.kmer_lo, sent).reshape(-1)
+                return hi, lo
+
+            partitions = max(
+                1, int(np.ceil(total_slots * 8 / (cfg.outofcore_bytes / 3)))
+            )
+            pc = outofcore.partitioned_count(
+                batch_keys,
+                len(batches),
+                partitions=partitions,
+                cutoff=cfg.abundance_cutoff,
+                kept_cap=total_slots,
+                pallas_sort=cfg.pallas_sort,
+            )
+            if pc.batch_overflows or pc.kept_overflow:
+                raise RuntimeError(
+                    "out-of-core counting overflowed its capacity slack; "
+                    f"overflows={pc.batch_overflows} kept={pc.kept_overflow}"
+                )
+            stats.n_windows = total_slots
+            stats.entries_pre_prune = pc.n_distinct
+            stats.entries_post_prune = pc.n_kept
+            khi, klo, valid = pc.kmer_hi, pc.kmer_lo, pc.valid
+            links = dbg.build_unitig_links_join(khi, klo, valid, k=cfg.k)
+            graph = dbg.pointer_jump(links)
+            out = dbg.materialize_unitigs(
+                np.asarray(khi), np.asarray(klo), np.asarray(valid), graph,
+                cfg.k,
+            )
+            stats.entries_post_extension = len(out)
+            return out, stats
+
         # Fast mode carries no per-occurrence payload: flatten all batches'
         # key lanes and count with the cheap two-lane sort.
         from genome_assembly_tpu.io import stream as stream_io

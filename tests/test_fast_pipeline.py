@@ -81,3 +81,23 @@ def test_fast_pipeline_strand_invariance():
     u1, _ = FastAssembler(cfg).unitigs(reads)
     u2, _ = FastAssembler(cfg).unitigs([rc(r) for r in reads])
     assert sorted(min(u, rc(u)) for u in u1) == sorted(min(u, rc(u)) for u in u2)
+
+
+def test_fast_assembler_outofcore_path_matches_incore():
+    """FastAssembler switches to hash-partitioned multi-pass counting when
+    the record set exceeds outofcore_bytes; the unitig set must be
+    identical to the in-core path."""
+    import dataclasses
+
+    from genome_assembly_tpu.io import datagen
+
+    genome, reads, _ = datagen.generate_coverage_reads(
+        genome_len=900, read_len=48, coverage=8, seed=29, with_reverse=True
+    )
+    cfg = PipelineConfig(k=11, m=5, parity=False, max_read_len=64,
+                         batch_reads=128)
+    a, sa = FastAssembler(cfg).unitigs(reads)
+    tiny = dataclasses.replace(cfg, outofcore_bytes=1 << 12)
+    b, sb = FastAssembler(tiny).unitigs(reads)
+    assert sorted(a) == sorted(b)
+    assert sa.entries_post_prune == sb.entries_post_prune
