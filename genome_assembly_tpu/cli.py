@@ -36,6 +36,18 @@ def _add_pipeline_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--metrics", default=None, help="append JSONL metrics here")
     ap.add_argument("--trace", default=None, help="capture a jax profiler trace")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument(
+        "--outofcore-gb",
+        type=float,
+        default=3.0,
+        help="fast mode: record gigabytes above which counting switches to "
+        "hash-partitioned multi-pass (out-of-core) passes",
+    )
+    ap.add_argument(
+        "--pallas-sort",
+        action="store_true",
+        help="fast mode: experimental Pallas count-sort backend (TPU only)",
+    )
 
 
 def _make_config(args):
@@ -49,6 +61,8 @@ def _make_config(args):
         parity=args.mode == "parity",
         batch_reads=args.batch_reads,
         max_read_len=args.max_read_len,
+        outofcore_bytes=int(args.outofcore_gb * (1 << 30)),
+        pallas_sort=args.pallas_sort,
     )
 
 
