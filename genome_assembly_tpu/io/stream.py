@@ -10,7 +10,10 @@ with fgets one line at a time (binning.c:1154-1166).
 
 Ordering is preserved; the queue depth bounds host+device staging memory
 to ``depth`` batches.  Any exception in the worker is re-raised at the
-consuming end so failures are not silent.
+consuming end so failures are not silent.  If the consumer abandons
+iteration early (e.g. the scan raises mid-loop), the worker notices via a
+stop flag on its next timed put and exits, releasing its staged device
+buffers instead of blocking forever.
 """
 
 from __future__ import annotations
@@ -29,6 +32,11 @@ class DeviceFeeder:
       so by the time the consumer receives a batch its transfer is already
       in flight or complete.
     depth: max staged batches (2 = classic double buffering).
+
+    Supports the context-manager protocol; ``close()`` (or leaving the
+    ``with`` block, or garbage collection of an abandoned feeder) signals
+    the worker to stop staging and drains the queue so the thread exits
+    promptly rather than leaking itself plus ``depth`` device batches.
     """
 
     _DONE = object()
@@ -42,18 +50,56 @@ class DeviceFeeder:
     ) -> None:
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
 
         def work() -> None:
             try:
                 for it in items:
-                    self._q.put(stage(it))
+                    staged = stage(it)
+                    # timed put so a stopped consumer is noticed even when
+                    # the queue stays full (the consumer stopped draining)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(staged, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:
-                self._q.put(self._DONE)
-
+                # DONE must actually arrive (a dropped marker deadlocks the
+                # consumer); timed puts so a stopped consumer still lets the
+                # worker exit even when the queue stays full
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._DONE, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         self._thread = threading.Thread(target=work, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Stop the worker and release staged batches (idempotent)."""
+        self._stop.set()
+        # drain whatever is staged so the worker's pending put unblocks
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self) -> "DeviceFeeder":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self) -> None:  # backstop for abandoned feeders
+        self._stop.set()
 
     def __iter__(self) -> Iterator:
         while True:
@@ -66,8 +112,13 @@ class DeviceFeeder:
             yield item
 
 
-def feed_read_batches(batches: Sequence, *, depth: int = 2) -> Iterator:
-    """Stage reads_io batches: (codes, lengths, read_ids) device arrays."""
+def feed_read_batches(batches: Sequence, *, depth: int = 2) -> DeviceFeeder:
+    """Stage reads_io batches: (codes, lengths, read_ids) device arrays.
+
+    Returns the DeviceFeeder itself (iterable AND a context manager) so
+    call sites can wrap consumption in ``with`` and guarantee the worker
+    exits when the consuming loop raises.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -78,4 +129,4 @@ def feed_read_batches(batches: Sequence, *, depth: int = 2) -> Iterator:
             jax.device_put(jnp.asarray(b.read_ids)),
         )
 
-    return iter(DeviceFeeder(batches, stage, depth=depth))
+    return DeviceFeeder(batches, stage, depth=depth)

@@ -79,19 +79,20 @@ class CountPipeline:
         # double-buffered feed: batch t+1's transfers stage while t computes
         from genome_assembly_tpu.io import stream as stream_io
 
-        for bi, (codes, lengths, rids) in enumerate(
-            stream_io.feed_read_batches(batches)
-        ):
-            recs = self.scan(codes, lengths)
-            per_batch.append(
-                count_ops.count_and_prune(
-                    recs,
-                    rids,
-                    cutoff=cutoff,
-                    stream_offset=bi * cfg.batch_reads * n_win,
+        # close() on exit: if the scan/count raises mid-loop the staging
+        # worker stops instead of blocking forever on a full queue
+        with stream_io.feed_read_batches(batches) as feeder:
+            for bi, (codes, lengths, rids) in enumerate(feeder):
+                recs = self.scan(codes, lengths)
+                per_batch.append(
+                    count_ops.count_and_prune(
+                        recs,
+                        rids,
+                        cutoff=cutoff,
+                        stream_offset=bi * cfg.batch_reads * n_win,
+                    )
                 )
-            )
-            stats.n_windows += int(np.sum(np.asarray(recs.valid)))
+                stats.n_windows += int(np.sum(np.asarray(recs.valid)))
         if len(per_batch) == 1:
             counted = per_batch[0]
         else:
@@ -218,12 +219,13 @@ class FastAssembler:
         from genome_assembly_tpu.io import stream as stream_io
 
         his, los, valids = [], [], []
-        for codes, lengths, _rids in stream_io.feed_read_batches(batches):
-            recs = self.counter.scan(codes, lengths)
-            his.append(recs.kmer_hi.reshape(-1))
-            los.append(recs.kmer_lo.reshape(-1))
-            valids.append(recs.valid.reshape(-1))
-            stats.n_windows += int(jnp.sum(recs.valid))
+        with stream_io.feed_read_batches(batches) as feeder:
+            for codes, lengths, _rids in feeder:
+                recs = self.counter.scan(codes, lengths)
+                his.append(recs.kmer_hi.reshape(-1))
+                los.append(recs.kmer_lo.reshape(-1))
+                valids.append(recs.valid.reshape(-1))
+                stats.n_windows += int(jnp.sum(recs.valid))
         combined = minimizer_ops.WindowRecords(
             mmer=jnp.zeros((0,), jnp.uint32),
             kmer_hi=jnp.concatenate(his),

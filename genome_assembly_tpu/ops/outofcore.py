@@ -105,13 +105,13 @@ def extract_partition_group(
 class PartitionedCount(NamedTuple):
     """Union of per-partition pruned keys (unordered across partitions)."""
 
-    kmer_hi: jnp.ndarray  # [kept_cap] kept canonical keys, sentinel-padded
-    kmer_lo: jnp.ndarray
+    kmer_hi: jnp.ndarray  # [n_kept] kept canonical keys (exact size: each
+    kmer_lo: jnp.ndarray  # partition is trimmed to its true kept count)
     valid: jnp.ndarray
     n_distinct: int
     n_kept: int
     batch_overflows: int  # nonzero => raise slack
-    kept_overflow: bool  # kept keys exceeded kept_cap => raise kept_cap
+    kept_overflow: bool  # total kept keys exceeded kept_cap (global test)
 
 
 def partitioned_count(
@@ -136,6 +136,12 @@ def partitioned_count(
     ``part_<p>.npz`` there and are skipped on re-run -- a killed
     chromosome-scale job resumes at its last finished pass (the elasticity
     model of SURVEY.md 5.3/5.4: passes are idempotent and independent).
+
+    Each partition's kept keys are trimmed to their TRUE count on the host
+    before accumulation (no per-partition padding), so hash skew between
+    partitions cannot fake an overflow and the returned arrays are exactly
+    n_kept long -- downstream link-building sorts see no dead rows.
+    kept_overflow is a single global test (n_kept > kept_cap).
     """
     probe_hi, probe_lo = batch_keys(0)
     batch_slots = int(probe_hi.shape[0])
@@ -143,7 +149,6 @@ def partitioned_count(
         batch_slots,
         int(np.ceil(batch_slots / partitions * slack)) + 1,
     )
-    per_part_kept = max(1, kept_cap // partitions)
 
     ckpt = None
     if checkpoint_dir is not None:
@@ -153,11 +158,13 @@ def partitioned_count(
         ckpt = pathlib.Path(checkpoint_dir)
         ckpt.mkdir(parents=True, exist_ok=True)
         # fingerprint: partition checkpoints are only valid for the exact
-        # run parameters (a different partition count remaps every key)
+        # run parameters (a different partition count remaps every key).
+        # "format": 2 = trimmed per-partition kept arrays (kept_cap no
+        # longer affects partition contents, so it is not fingerprinted).
         fp = {
+            "format": 2,
             "partitions": partitions,
             "cutoff": cutoff,
-            "kept_cap": kept_cap,
             "slack": slack,
             "n_batches": n_batches,
             "batch_slots": batch_slots,
@@ -176,11 +183,10 @@ def partitioned_count(
     def load_part(p):
         saved = np.load(ckpt / f"part_{p}.npz")
         return (
-            jnp.asarray(saved["khi"]),
-            jnp.asarray(saved["klo"]),
+            saved["khi"],
+            saved["klo"],
             int(saved["n_distinct"]),
             int(saved["n_kept"]),
-            bool(saved["kept_overflow"]),
             int(saved["batch_overflows"]),
         )
 
@@ -188,7 +194,6 @@ def partitioned_count(
     n_distinct = 0
     n_kept = 0
     batch_overflows = 0
-    kept_overflow = False
     n_groups = (partitions + GROUP - 1) // GROUP
     for g in range(n_groups):
         group_parts = [
@@ -201,12 +206,11 @@ def partitioned_count(
         ]
         if not missing:
             for p in group_parts:
-                khi, klo, nd, nk, ko, bo = load_part(p)
+                khi, klo, nd, nk, bo = load_part(p)
                 khi_parts.append(khi)
                 klo_parts.append(klo)
                 n_distinct += nd
                 n_kept += nk
-                kept_overflow |= ko
                 batch_overflows += bo
             continue
 
@@ -233,12 +237,11 @@ def partitioned_count(
             if p >= partitions:
                 continue
             if ckpt is not None and (ckpt / f"part_{p}.npz").exists():
-                khi, klo, nd, nk, ko, bo = load_part(p)
+                khi, klo, nd, nk, bo = load_part(p)
                 khi_parts.append(khi)
                 klo_parts.append(klo)
                 n_distinct += nd
                 n_kept += nk
-                kept_overflow |= ko
                 batch_overflows += bo
                 continue
             pass_overflows = int(group_overflows[r])
@@ -260,27 +263,34 @@ def partitioned_count(
             n_distinct += n_distinct_p
             n_kept_p = int(jnp.sum(kc.keep))
             n_kept += n_kept_p
-            kept_overflow |= n_kept_p > per_part_kept
             khi, klo, _ = count_ops.kept_keys_sorted(kc)
             del kc
-            khi_parts.append(khi[:per_part_kept])
-            klo_parts.append(klo[:per_part_kept])
+            # trim to the partition's TRUE kept count (kept keys are
+            # compacted to the front) and park on the host: no padding can
+            # reach the final concatenation, and the device frees this
+            # pass's arrays before the next group's staging begins
+            khi_parts.append(np.asarray(khi[:n_kept_p]))
+            klo_parts.append(np.asarray(klo[:n_kept_p]))
+            del khi, klo
             if ckpt is not None:
                 # savez appends ".npz" unless the name already ends with it
                 tmp = ckpt / f"part_{p}.tmp.npz"
                 np.savez_compressed(
                     tmp,
-                    khi=np.asarray(khi_parts[-1]),
-                    klo=np.asarray(klo_parts[-1]),
+                    khi=khi_parts[-1],
+                    klo=klo_parts[-1],
                     n_distinct=np.int64(n_distinct_p),
                     n_kept=np.int64(n_kept_p),
-                    kept_overflow=np.bool_(n_kept_p > per_part_kept),
                     batch_overflows=np.int64(pass_overflows),
                 )
                 tmp.rename(ckpt / f"part_{p}.npz")
 
-    kmer_hi = jnp.concatenate(khi_parts)
-    kmer_lo = jnp.concatenate(klo_parts)
+    kmer_hi = jnp.asarray(
+        np.concatenate([np.asarray(a, dtype=np.uint32) for a in khi_parts])
+    )
+    kmer_lo = jnp.asarray(
+        np.concatenate([np.asarray(a, dtype=np.uint32) for a in klo_parts])
+    )
     valid = kmer_hi != SENTINEL
     return PartitionedCount(
         kmer_hi=kmer_hi,
@@ -289,5 +299,5 @@ def partitioned_count(
         n_distinct=n_distinct,
         n_kept=n_kept,
         batch_overflows=batch_overflows,
-        kept_overflow=kept_overflow,
+        kept_overflow=n_kept > kept_cap,
     )

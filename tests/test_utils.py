@@ -198,3 +198,29 @@ def test_device_feeder_order_and_errors():
 
     with _pytest.raises(ValueError, match="staged failure"):
         list(DeviceFeeder(range(5), boom, depth=2))
+
+
+def test_device_feeder_abandoned_consumer_stops_worker():
+    """close() unblocks a worker stuck on a full queue (the consumer
+    raised mid-loop) so abandoned feeders don't leak threads + staged
+    batches (ADVICE.md round 1)."""
+    import time
+
+    from genome_assembly_tpu.io.stream import DeviceFeeder
+
+    feeder = DeviceFeeder(range(1000), lambda x: x, depth=2)
+    it = iter(feeder)
+    next(it)  # consume one, then abandon (simulates a raising consumer)
+    feeder.close()
+    deadline = time.time() + 5.0
+    while feeder._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.01)
+    assert not feeder._thread.is_alive()
+
+    # context-manager form: leaving the block mid-iteration also stops it
+    with DeviceFeeder(range(1000), lambda x: x, depth=2) as f2:
+        next(iter(f2))
+    deadline = time.time() + 5.0
+    while f2._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.01)
+    assert not f2._thread.is_alive()

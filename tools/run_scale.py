@@ -194,12 +194,17 @@ def main() -> int:
         khi, klo, valid = pc.kmer_hi, pc.kmer_lo, pc.valid
         kept_cap = khi.shape[0]
         n_distinct, n_kept = pc.n_distinct, pc.n_kept
+        # out-of-core interleaves re-scan and count passes, so the split
+        # scan/count timing of the in-core branch does not exist; emit ONE
+        # combined event whose rate is end-to-end comparable across modes
+        # (ADVICE.md round 1: a 0-second scan event made cross-mode
+        # kmers_counted_per_s comparisons misleading).
         scan_wall = 0.0
         count_wall = time.perf_counter() - t0
         emit(
-            "count",
+            "scan_and_count",
             wall_s=round(count_wall, 3),
-            kmers_counted_per_s=round(total_slots / count_wall, 1),
+            kmers_scanned_and_counted_per_s=round(total_slots / count_wall, 1),
             distinct=n_distinct,
             kept=n_kept,
             passes=partitions,
