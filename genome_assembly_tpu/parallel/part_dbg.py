@@ -376,6 +376,154 @@ def partitioned_unitig_links(
     return links.reshape(2 * n), overflow
 
 
+def _links_join_body(
+    khi_l, klo_l, valid_l, *, k, n_shards, rows, cap_rec, cap_edge
+):
+    """Per-shard routed sort-join links (the distributed form of
+    ops/dbg.py build_unitig_links_join).
+
+    Each shard emits OUT (key = suffix) / IN (key = prefix) boundary
+    records for its own 2*rows states, routes them to the key's HASH owner,
+    pair-tests adjacent rows of the locally sorted records (all records of
+    one (k-1)-mer land on one shard, so group adjacency is complete), and
+    routes the resulting edges back to each source state's home shard.
+
+    No table lookups anywhere: ~100x cheaper than the binary-search bodies
+    above at scale (NOTES.md gather-vs-sort measurements).
+    """
+    base_node = lax.axis_index(SHARD_AXIS).astype(jnp.int32) * rows
+    rhi_l, rlo_l = encode.reverse_complement_packed(khi_l, klo_l, k)
+    node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
+    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
+    gid = (2 * (base_node + node_l) + strand).astype(jnp.uint32)
+    ohi = jnp.where(strand == 0, khi_l[node_l], rhi_l[node_l])
+    olo = jnp.where(strand == 0, klo_l[node_l], rlo_l[node_l])
+    state_valid = valid_l[node_l]
+
+    n_lo = min(k, 16)
+    n_hi = k - n_lo
+    # suffix = v & mask(2k-2); prefix = v >> 2 (two-lane arithmetic); valid
+    # key hi lanes stay < 2^30, so a sentinel hi lane marks padding.
+    if n_hi > 0:
+        suf_hi = ohi & jnp.uint32((1 << (2 * n_hi - 2)) - 1)
+        suf_lo = olo
+        pre_hi = ohi >> 2
+        pre_lo = (olo >> 2) | ((ohi & 3) << 30)
+    else:
+        suf_hi = jnp.zeros_like(ohi)
+        suf_lo = olo & jnp.uint32((1 << (2 * k - 2)) - 1)
+        pre_hi = jnp.zeros_like(ohi)
+        pre_lo = olo >> 2
+
+    sent = jnp.uint32(0xFFFFFFFF)
+    key_hi = jnp.concatenate([suf_hi, pre_hi])
+    key_lo = jnp.concatenate([suf_lo, pre_lo])
+    side = jnp.concatenate(
+        [jnp.zeros(2 * rows, jnp.uint32), jnp.ones(2 * rows, jnp.uint32)]
+    )
+    payload = (side << 31) | jnp.concatenate([gid, gid])
+    active = jnp.concatenate([state_valid, state_valid])
+
+    owner = _key_owner(key_hi, key_lo, n_shards)
+    blocks, _, ovf_rec = _pack_by_owner(
+        owner, active, (key_hi, key_lo, payload), (sent, sent, sent),
+        n_shards, cap_rec,
+    )
+    r_khi = _xchg(blocks[0]).reshape(-1)
+    r_klo = _xchg(blocks[1]).reshape(-1)
+    r_pay = _xchg(blocks[2]).reshape(-1)
+
+    # sort received records by (key, side, state): payload's top bit is the
+    # side, so OUT rows precede IN rows within a key group
+    khi_s, klo_s, pay_s = lax.sort((r_khi, r_klo, r_pay), num_keys=3)
+    v_s = khi_s != sent
+    side_s = (pay_s >> 31).astype(jnp.int32)
+    state_s = (pay_s & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+    def nxt(x, fill):
+        return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
+
+    def prv(x, fill):
+        return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+    same_next = (nxt(khi_s, sent ^ 1) == khi_s) & (nxt(klo_s, sent ^ 1) == klo_s)
+    same_prev = (prv(khi_s, sent ^ 1) == khi_s) & (prv(klo_s, sent ^ 1) == klo_s)
+    pair = (
+        ~same_prev
+        & same_next
+        & ~nxt(same_next, True)
+        & (side_s == 0)
+        & (nxt(side_s, 1) == 1)
+        & v_s
+    )
+    target = nxt(state_s, -1)
+    hairpin = target == (state_s ^ 1)
+    edge = pair & ~hairpin
+
+    # route each edge to its source state's home shard and scatter (at most
+    # one OUT record per state => destinations unique)
+    home = jnp.clip(state_s, 0, 2 * rows * n_shards - 1) // (2 * rows)
+    eblocks, _, ovf_edge = _pack_by_owner(
+        home, edge, (state_s, target), (jnp.int32(-1), jnp.int32(-1)),
+        n_shards, cap_edge,
+    )
+    b_src = _xchg(eblocks[0]).reshape(-1)
+    b_dst = _xchg(eblocks[1]).reshape(-1)
+    base_state = 2 * base_node
+    next_l = jnp.full(2 * rows, -1, dtype=jnp.int32)
+    loc = jnp.where(b_src >= 0, b_src - base_state, 2 * rows)
+    next_l = next_l.at[loc].set(b_dst, mode="drop", unique_indices=True)
+    return next_l[None], (ovf_rec + ovf_edge)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "slack"))
+def partitioned_unitig_links_join(
+    khi: jnp.ndarray,
+    klo: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    k: int,
+    mesh: Mesh,
+    slack: float = 4.0,
+):
+    """next_state[2N] via the routed (k-1)-mer sort-join; fully partitioned.
+
+    The distributed default: identical results to
+    ``dbg.build_unitig_links_join`` (differential-tested) with no key-table
+    lookups at all -- each state's two boundary records are hash-routed to
+    an owner shard, pair-tested there after one local sort, and the edges
+    routed home.  Works for both the replicated-table and partitioned
+    regimes since the join never touches the table.
+
+    khi/klo: globally sorted canonical keys (sentinel-padded), length N
+    divisible by the mesh size.  Returns (next_state [2N], overflow
+    [n_shards]); nonzero overflow => re-run with larger ``slack``.
+    """
+    if k % 2 == 0:
+        raise ValueError("fast-mode dBG requires odd k")
+    n = khi.shape[0]
+    n_shards = mesh.shape[SHARD_AXIS]
+    if n % n_shards:
+        raise ValueError(f"N={n} must divide mesh size {n_shards}")
+    rows = n // n_shards
+    # 4*rows records per shard, hash-spread over n_shards owners
+    cap_rec = max(1, int(np.ceil(4 * rows / n_shards * slack)))
+    # at most one edge per state routed home
+    cap_edge = max(1, int(np.ceil(2 * rows / n_shards * slack)))
+
+    fn = jax.shard_map(
+        functools.partial(
+            _links_join_body, k=k, n_shards=n_shards, rows=rows,
+            cap_rec=cap_rec, cap_edge=cap_edge,
+        ),
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+    )
+    links, overflow = fn(khi, klo, valid)
+    return links.reshape(2 * n), overflow
+
+
 # ---------------------------------------------------------------------------
 # pointer jumping
 # ---------------------------------------------------------------------------

@@ -252,6 +252,50 @@ def test_partitioned_dbg_matches_single_device(mesh8):
     assert np.array_equal(np.asarray(got_g.is_cycle), np.asarray(want_g.is_cycle))
 
 
+@pytest.mark.parametrize("k", [5, 11, 17, 31])
+def test_partitioned_links_join_matches_single_device(mesh8, k):
+    """Routed sort-join links (the distributed default) == the single-chip
+    sort-join == the binary-search builder, zero overflow, across key
+    widths spanning both two-lane layouts (VERDICT round 1 item 3)."""
+    from genome_assembly_tpu.ops import dbg
+    from genome_assembly_tpu.parallel import part_dbg
+
+    rng = np.random.default_rng(k)
+    genome = "".join(rng.choice(list("ACGT"), size=600))
+    keys = sorted(
+        {
+            min(
+                encode.pack_str(genome[i : i + k]),
+                encode.pack_str(
+                    genome[i : i + k].translate(str.maketrans("ACGT", "TGCA"))[::-1]
+                ),
+            )
+            for i in range(len(genome) - k + 1)
+        }
+    )
+    pad = 1024
+    n_lo = min(k, 16)
+    hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros(pad, dtype=bool)
+    for i, v in enumerate(keys):
+        hi[i] = v >> (2 * n_lo)
+        lo[i] = v & ((1 << (2 * n_lo)) - 1)
+        valid[i] = True
+    hi, lo, valid = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid)
+
+    want = np.asarray(dbg.build_unitig_links_join(hi, lo, valid, k=k))
+    got, ovf = part_dbg.partitioned_unitig_links_join(
+        hi, lo, valid, k=k, mesh=mesh8
+    )
+    assert int(np.sum(np.asarray(ovf))) == 0
+    assert np.array_equal(np.asarray(got), want)
+    # and against the independent binary-search formulation
+    assert np.array_equal(
+        want, np.asarray(dbg.build_unitig_links(hi, lo, valid, k=k))
+    )
+
+
 @pytest.mark.parametrize("parity", [True, False])
 def test_ragged_routing_equals_padded(mesh8, parity):
     """sharded_count(routing="ragged") == routing="padded" (on CPU the
