@@ -267,6 +267,185 @@ def build_unitig_links_join(
     return next_sorted[: 2 * n]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk_nodes"))
+def _chunk_boundary_records(
+    khi_c: jnp.ndarray, klo_c: jnp.ndarray, valid_c: jnp.ndarray,
+    base_node: jnp.ndarray, *, k: int, chunk_nodes: int
+):
+    """OUT/IN boundary records for one chunk of nodes (both strands).
+
+    Returns (key_hi, key_lo, payload) of length 4*chunk_nodes; payload is
+    side << 31 | global_state_id; invalid rows are SENTINEL in all lanes.
+    One compiled executable serves every chunk (base_node is traced).
+    """
+    n_lo = min(k, 16)
+    n_hi = k - n_lo
+    rhi, rlo = encode.reverse_complement_packed(khi_c, klo_c, k)
+    node = jnp.repeat(jnp.arange(chunk_nodes, dtype=jnp.int32), 2)
+    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), chunk_nodes)
+    gid = (2 * (base_node.astype(jnp.int32) + node) + strand).astype(jnp.uint32)
+    ohi = jnp.where(strand == 0, khi_c[node], rhi[node])
+    olo = jnp.where(strand == 0, klo_c[node], rlo[node])
+    state_valid = valid_c[node]
+
+    if n_hi > 0:
+        suf_hi = ohi & jnp.uint32((1 << (2 * n_hi - 2)) - 1)
+        suf_lo = olo
+        pre_hi = ohi >> 2
+        pre_lo = (olo >> 2) | ((ohi & 3) << 30)
+    else:
+        suf_hi = jnp.zeros_like(ohi)
+        suf_lo = olo & jnp.uint32((1 << (2 * k - 2)) - 1)
+        pre_hi = jnp.zeros_like(ohi)
+        pre_lo = olo >> 2
+
+    sent = jnp.uint32(0xFFFFFFFF)
+    key_hi = jnp.concatenate(
+        [jnp.where(state_valid, suf_hi, sent), jnp.where(state_valid, pre_hi, sent)]
+    )
+    key_lo = jnp.concatenate(
+        [jnp.where(state_valid, suf_lo, sent), jnp.where(state_valid, pre_lo, sent)]
+    )
+    side = jnp.concatenate(
+        [jnp.zeros(2 * chunk_nodes, jnp.uint32), jnp.ones(2 * chunk_nodes, jnp.uint32)]
+    )
+    payload = jnp.where(
+        jnp.concatenate([state_valid, state_valid]),
+        (side << 31) | jnp.concatenate([gid, gid]),
+        sent,
+    )
+    return key_hi, key_lo, payload
+
+
+@jax.jit
+def _partition_edges(key_hi, key_lo, payload):
+    """Sort one partition's records and pair-test: (src or -1, dst).
+
+    The same exactly-two-rows OUT-then-IN group test as
+    build_unitig_links_join, over records whose key groups are complete
+    (all of a (k-1)-mer's records share its hash partition).
+    """
+    sent = jnp.uint32(0xFFFFFFFF)
+    khi_s, klo_s, pay_s = lax.sort((key_hi, key_lo, payload), num_keys=3)
+    v_s = khi_s != sent
+    side_s = (pay_s >> 31).astype(jnp.int32)
+    state_s = (pay_s & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+    def nxt(x, fill):
+        return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
+
+    def prv(x, fill):
+        return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+    same_next = (nxt(khi_s, sent ^ 1) == khi_s) & (nxt(klo_s, sent ^ 1) == klo_s)
+    same_prev = (prv(khi_s, sent ^ 1) == khi_s) & (prv(klo_s, sent ^ 1) == klo_s)
+    pair = (
+        ~same_prev
+        & same_next
+        & ~nxt(same_next, True)
+        & (side_s == 0)
+        & (nxt(side_s, 1) == 1)
+        & v_s
+    )
+    target = nxt(state_s, -1)
+    hairpin = target == (state_s ^ 1)
+    edge = pair & ~hairpin
+    return jnp.where(edge, state_s, -1), target
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_edges(next_state, src, dst):
+    loc = jnp.where(src >= 0, src, next_state.shape[0])
+    return next_state.at[loc].set(dst, mode="drop", unique_indices=True)
+
+
+def build_unitig_links_ooc(
+    khi: jnp.ndarray,
+    klo: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    k: int,
+    partitions: int,
+    chunk_nodes: int = 1 << 24,
+    slack: float = 1.6,
+):
+    """next_state[2N] for key sets whose 4N-record join sort exceeds HBM.
+
+    Identical results to build_unitig_links_join (differential-tested),
+    computed in ceil(partitions/3) passes: each pass regenerates every
+    chunk's boundary records (cheap arithmetic over the resident key
+    array), extracts a GROUP of 3 key-hash partitions via the tag-folding
+    compaction of ops/outofcore.py, then sorts + pair-tests each partition
+    independently and scatters its edges into the accumulating link array.
+
+    Peak device memory: 2N links + the key array + one partition's records
+    (4N/partitions x slack x 3 lanes) + its sort copies -- the knob that
+    lets a 268M-state celegans-scale graph build on a 16 GB chip.
+
+    Returns (next_state [2N], overflow_count); nonzero overflow => raise
+    ``slack`` (a partition's records exceeded their per-chunk capacity).
+    """
+    from genome_assembly_tpu.ops import outofcore
+
+    if k % 2 == 0:
+        raise ValueError("fast-mode dBG requires odd k")
+    n = khi.shape[0]
+    if n % chunk_nodes:
+        pad = chunk_nodes - (n % chunk_nodes)
+        sent = jnp.uint32(0xFFFFFFFF)
+        khi = jnp.concatenate([khi, jnp.full((pad,), sent, jnp.uint32)])
+        klo = jnp.concatenate([klo, jnp.full((pad,), sent, jnp.uint32)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    n_padded = khi.shape[0]
+    n_chunks = n_padded // chunk_nodes
+    rec_per_chunk = 4 * chunk_nodes
+    cap_bp = min(
+        rec_per_chunk,
+        int(np.ceil(rec_per_chunk / partitions * slack)) + 1,
+    )
+
+    next_state = jnp.full(2 * n_padded, -1, dtype=jnp.int32)
+    ovf_total = 0
+    n_groups = (partitions + outofcore.GROUP - 1) // outofcore.GROUP
+    for g in range(n_groups):
+        pieces = [([], [], []) for _ in range(outofcore.GROUP)]
+        ovf_dev = jnp.zeros((outofcore.GROUP,), jnp.int32)
+        for c in range(n_chunks):
+            s = c * chunk_nodes
+            rk_hi, rk_lo, rpay = _chunk_boundary_records(
+                khi[s : s + chunk_nodes],
+                klo[s : s + chunk_nodes],
+                valid[s : s + chunk_nodes],
+                jnp.int32(s),
+                k=k,
+                chunk_nodes=chunk_nodes,
+            )
+            ghi, glo, gpay, ovf = outofcore.extract_partition_group3(
+                rk_hi, rk_lo, rpay, jnp.uint32(g),
+                partitions=partitions, cap_bp=cap_bp,
+            )
+            for r in range(outofcore.GROUP):
+                pieces[r][0].append(ghi[r])
+                pieces[r][1].append(glo[r])
+                pieces[r][2].append(gpay[r])
+            ovf_dev = ovf_dev + ovf.astype(jnp.int32)
+        ovf_total += int(jnp.sum(ovf_dev))
+
+        for r in range(outofcore.GROUP):
+            p = g * outofcore.GROUP + r
+            if p >= partitions:
+                continue
+            cat_hi = jnp.concatenate(pieces[r][0])
+            cat_lo = jnp.concatenate(pieces[r][1])
+            cat_pay = jnp.concatenate(pieces[r][2])
+            pieces[r] = None  # free staging before the partition sort
+            src, dst = _partition_edges(cat_hi, cat_lo, cat_pay)
+            del cat_hi, cat_lo, cat_pay
+            next_state = _scatter_edges(next_state, src, dst)
+            del src, dst
+    return next_state[: 2 * n], ovf_total
+
+
 @jax.jit
 def pointer_jump(next_state: jnp.ndarray) -> CompactedGraph:
     """List-rank the unitig chains: head id + rank per state.

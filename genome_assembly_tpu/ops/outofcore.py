@@ -102,6 +102,47 @@ def extract_partition_group(
     return jnp.stack(his), jnp.stack(los), jnp.stack(ovfs)
 
 
+@functools.partial(jax.jit, static_argnames=("partitions", "cap_bp"))
+def extract_partition_group3(
+    hi: jnp.ndarray, lo: jnp.ndarray, pay: jnp.ndarray, group: jnp.ndarray, *,
+    partitions: int, cap_bp: int
+):
+    """Payload-carrying variant of :func:`extract_partition_group`.
+
+    Same tag-folding compaction over (hi, lo) keys, with a third uint32
+    payload lane riding through the sort (the out-of-core LINK builder's
+    records carry side|state ids).  Key hi lanes must stay < 2^30 -- true
+    for both k-mer keys (k <= 31) and the (k-1)-mer boundary keys.
+    Returns (hi [GROUP, cap_bp], lo, pay, overflows [GROUP]); non-members
+    are masked back to SENTINEL in all three lanes.
+    """
+    pid = key_partition(hi, lo, partitions).astype(jnp.int32)
+    rel = pid - group.astype(jnp.int32) * GROUP
+    keep = (rel >= 0) & (rel < GROUP) & (hi != SENTINEL)
+    rel_u = jnp.where(keep, rel, 0).astype(jnp.uint32)
+    comp = jnp.where(keep, (rel_u << 30) | hi, SENTINEL)
+    lo_m = jnp.where(keep, lo, SENTINEL)
+    pay_m = jnp.where(keep, pay, SENTINEL)
+    comp_s, lo_s, pay_s = lax.sort((comp, lo_m, pay_m), num_keys=2)
+    n = comp_s.shape[0]
+    bounds = jnp.searchsorted(
+        comp_s, jnp.arange(GROUP, dtype=jnp.uint32) << 30, side="left"
+    ).astype(jnp.int32)
+    his, los, pays, ovfs = [], [], [], []
+    for r in range(GROUP):
+        start = jnp.clip(bounds[r], 0, n - cap_bp) if cap_bp <= n else 0
+        chi = lax.dynamic_slice_in_dim(comp_s, start, cap_bp)
+        clo = lax.dynamic_slice_in_dim(lo_s, start, cap_bp)
+        cpay = lax.dynamic_slice_in_dim(pay_s, start, cap_bp)
+        member = (chi >> 30) == r
+        his.append(jnp.where(member, chi & jnp.uint32((1 << 30) - 1), SENTINEL))
+        los.append(jnp.where(member, clo, SENTINEL))
+        pays.append(jnp.where(member, cpay, SENTINEL))
+        probe = jnp.clip(bounds[r] + cap_bp, 0, n - 1)
+        ovfs.append(((comp_s[probe] >> 30) == r) & (bounds[r] + cap_bp < n))
+    return jnp.stack(his), jnp.stack(los), jnp.stack(pays), jnp.stack(ovfs)
+
+
 class PartitionedCount(NamedTuple):
     """Union of per-partition pruned keys (unordered across partitions)."""
 

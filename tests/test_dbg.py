@@ -275,3 +275,38 @@ def test_join_builder_matches_candidate_builder():
         a = np.asarray(dbg.build_unitig_links(hi, lo, valid, k=k))
         b = np.asarray(dbg.build_unitig_links_join(hi, lo, valid, k=k))
         assert np.array_equal(a, b), (trial, k, glen)
+
+
+def test_ooc_link_builder_matches_join():
+    """build_unitig_links_ooc (hash-partitioned multi-pass) ==
+    build_unitig_links_join across k widths, partition counts, and chunk
+    sizes -- including chunks that split the node array and partition
+    counts that are not multiples of the extraction GROUP."""
+    rng = np.random.default_rng(11)
+    for trial, (k, glen, parts, chunk) in enumerate(
+        [
+            (5, 80, 2, 64),
+            (11, 600, 4, 128),
+            (17, 900, 5, 256),
+            (31, 1500, 7, 128),
+            (31, 1500, 3, 1024),
+        ]
+    ):
+        genome = "".join(rng.choice(list("ACGT"), size=glen))
+        keys = sorted({encode.pack_str(canon(x)) for x in genome_kmers(genome, k)})
+        pad = max(8, 1 << int(np.ceil(np.log2(max(len(keys), 2)))))
+        n_lo = min(k, 16)
+        hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+        lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+        valid = np.zeros(pad, dtype=bool)
+        for i, v in enumerate(keys):
+            hi[i] = v >> (2 * n_lo)
+            lo[i] = v & ((1 << (2 * n_lo)) - 1)
+            valid[i] = True
+        hi, lo, valid = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid)
+        want = np.asarray(dbg.build_unitig_links_join(hi, lo, valid, k=k))
+        got, ovf = dbg.build_unitig_links_ooc(
+            hi, lo, valid, k=k, partitions=parts, chunk_nodes=chunk
+        )
+        assert ovf == 0, (trial, k, parts)
+        assert np.array_equal(np.asarray(got), want), (trial, k, parts, chunk)

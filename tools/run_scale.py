@@ -64,6 +64,26 @@ def main() -> int:
         help="count with the hybrid XLA-chunk + Pallas-merge sort "
         "(ops/bitonic_pallas.sort_pairs_hybrid)",
     )
+    ap.add_argument(
+        "--link-partitions",
+        type=int,
+        default=0,
+        help="out-of-core passes for link building (0 = auto from a ~1 GB "
+        "per-partition record budget; 1 = in-core single-sort join)",
+    )
+    ap.add_argument(
+        "--link-chunk",
+        type=int,
+        default=1 << 23,
+        help="nodes per chunk when regenerating boundary records "
+        "out-of-core (ops/dbg.build_unitig_links_ooc)",
+    )
+    ap.add_argument(
+        "--materialize",
+        action="store_true",
+        help="host-materialize the unitig strings after the jump and "
+        "report their count/total length (memory-heavy at chr scale)",
+    )
     args = ap.parse_args()
     cfg = PRESETS[args.preset]
 
@@ -138,8 +158,7 @@ def main() -> int:
         return khi[:kept_cap], klo[:kept_cap], valid[:kept_cap], n_distinct, n_kept
 
     @jax.jit
-    def compact_graph(khi, klo, valid):
-        links = dbg.build_unitig_links_join(khi, klo, valid, k=K)
+    def jump_stats(links, valid):
         graph = dbg.pointer_jump(links)
         node_valid = jnp.repeat(valid, 2)
         # chain heads: states nothing links to (pred < 0), linear only
@@ -152,7 +171,7 @@ def main() -> int:
         lin_heads = jnp.sum((pred < 0) & node_valid & ~graph.is_cycle)
         n_cyc_states = jnp.sum(graph.is_cycle & node_valid)
         max_rank = jnp.max(jnp.where(node_valid, graph.rank, 0))
-        return lin_heads, n_cyc_states, max_rank
+        return graph, lin_heads, n_cyc_states, max_rank
 
     t0 = time.perf_counter()
     genome = make_genome(kg)
@@ -247,8 +266,9 @@ def main() -> int:
         return 0
 
     t0 = time.perf_counter()
-    # dbg compaction above ~8M states faults the relayed TPU worker
-    # (NOTES.md); run the extension graph on the host CPU backend there.
+    # legacy escape hatch: run the extension graph on the host CPU backend
+    # above --tpu-ext-limit states (the old gather-loop TPU fault is gone
+    # with the sort-join; out-of-core link building removes the HBM wall)
     use_cpu_ext = (not args.cpu) and (2 * kept_cap > args.tpu_ext_limit)
     if use_cpu_ext:
         cpu = jax.local_devices(backend="cpu")[0]
@@ -256,16 +276,35 @@ def main() -> int:
         klo = jax.device_put(np.asarray(klo), cpu)
         valid = jax.device_put(np.asarray(valid), cpu)
         emit("extension_device", device="cpu", states=2 * kept_cap)
-    try:
-        lin_heads, n_cyc_states, max_rank = compact_graph(khi, klo, valid)
-        lin_heads = int(lin_heads)
-    except Exception as exc:  # known: TPU worker kernel fault >8M states
-        emit(
-            "extension_failed",
-            error=str(exc)[:200],
-            note="dbg compaction at this state count faults the relayed "
-            "TPU worker (NOTES.md); the same graph is correct on CPU",
+
+    n_nodes = int(khi.shape[0])
+    link_partitions = args.link_partitions
+    if link_partitions == 0:
+        # records = 4 rows/node x 3 uint32 lanes; sort peak ~3x resident
+        rec_bytes = 4 * n_nodes * 12
+        link_budget = 1 << 30
+        link_partitions = (
+            1 if rec_bytes <= 3 * link_budget
+            else int(np.ceil(rec_bytes / link_budget))
         )
+    try:
+        if link_partitions > 1:
+            emit("links_outofcore", partitions=link_partitions,
+                 chunk_nodes=args.link_chunk)
+            links, link_ovf = dbg.build_unitig_links_ooc(
+                khi, klo, valid, k=K,
+                partitions=link_partitions, chunk_nodes=args.link_chunk,
+            )
+            assert link_ovf == 0, "raise link slack"
+            links.block_until_ready()
+            emit("links", wall_s=round(time.perf_counter() - t0, 3),
+                 partitions=link_partitions)
+        else:
+            links = dbg.build_unitig_links_join(khi, klo, valid, k=K)
+        graph, lin_heads, n_cyc_states, max_rank = jump_stats(links, valid)
+        lin_heads = int(lin_heads)
+    except Exception as exc:
+        emit("extension_failed", error=str(exc)[:200])
         return 1
     ext_wall = time.perf_counter() - t0
     emit(
@@ -283,6 +322,18 @@ def main() -> int:
             total_slots / (scan_wall + count_wall + ext_wall), 1
         ),
     )
+    if args.materialize:
+        t0 = time.perf_counter()
+        unitigs = dbg.materialize_unitigs(
+            np.asarray(khi), np.asarray(klo), np.asarray(valid), graph, K
+        )
+        emit(
+            "materialize",
+            wall_s=round(time.perf_counter() - t0, 3),
+            unitigs=len(unitigs),
+            total_bp=sum(len(u) for u in unitigs),
+            longest_bp=max((len(u) for u in unitigs), default=0),
+        )
     return 0
 
 
