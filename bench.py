@@ -3,7 +3,10 @@
 Measures the fast-mode device pipeline (canonical minimizer scan +
 payload-free sort-based count + prune) in steady state on synthetic 100-bp
 read batches -- the same work the reference's ingest+count phase does at
-~1.25M windows/s on one Xeon core (BASELINE.md, big.txt, gcc -O2).
+~1.25M windows/s on one Xeon core (BASELINE.md, big.txt, gcc -O2) -- plus
+the unitig-extension phase (dBG link join + pointer jumping), measured by
+differencing a count-only loop from a count+extension loop over the same
+perturbed inputs (BASELINE.json's metric string names both phases).
 
 Methodology notes:
 - The whole measured loop runs inside ONE jitted fori_loop and ends in a
@@ -14,9 +17,13 @@ Methodology notes:
   of the stack can cache a previous iteration's result.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "extension_states_per_s": N, "extension_vs_baseline": N}
 
-vs_baseline is the speedup over the reference C ingest rate.
+value/vs_baseline stay the count metric (comparable across rounds);
+the extension fields are the second phase of BASELINE.json's metric
+string.  vs_baseline is the speedup over the reference C rate for the
+matching phase.
 """
 
 from __future__ import annotations
@@ -26,6 +33,10 @@ import sys
 import time
 
 REFERENCE_WINDOWS_PER_S = 1.25e6  # BASELINE.md big.txt ingest, 1 core -O2
+# BASELINE.md big.txt extension: 124,726 post-prune entries x 2 states in
+# 18.5 s on one Xeon core (the reference walks each entry in both
+# directions; states/s is the scale-free form of its rate)
+REFERENCE_EXT_STATES_PER_S = 124726 * 2 / 18.5
 
 
 def main() -> None:
@@ -62,22 +73,66 @@ def main() -> None:
         # bounds must share one dtype (jax >= 0.9 enforces it)
         return jax.lax.fori_loop(jnp.int32(0), iters, body, jnp.uint32(0))
 
-    def timed(iters: int) -> float:
+    # Extension phase: same scan, cutoff 0 so every distinct k-mer is a dBG
+    # node (random reads share almost nothing, so cutoff 1 would leave an
+    # empty graph), then sort-join links + pointer jumping.  Measured as
+    # the DIFFERENCE between this loop and an identical loop without the
+    # extension stages: the shared stages cancel, isolating links+jump.
+    from genome_assembly_tpu.ops import dbg
+
+    def count_stage(i, codes, lengths):
+        c = codes ^ (i.astype(jnp.uint8) & 3)
+        recs = minimizer.fast_scan(c, lengths, k=K, m=M)
+        kc = count_ops.count_keys(recs, cutoff=0)
+        return count_ops.kept_keys_sorted(kc)
+
+    @jax.jit
+    def base_loop(codes, lengths, iters):
+        def body(i, acc):
+            khi, klo, valid = count_stage(i, codes, lengths)
+            return acc + jnp.sum(valid).astype(jnp.uint32)
+        return jax.lax.fori_loop(jnp.int32(0), iters, body, jnp.uint32(0))
+
+    @jax.jit
+    def ext_loop(codes, lengths, iters):
+        def body(i, acc):
+            khi, klo, valid = count_stage(i, codes, lengths)
+            links = dbg.build_unitig_links_join(khi, klo, valid, k=K)
+            graph = dbg.pointer_jump(links)
+            return (
+                acc
+                + jnp.sum(valid).astype(jnp.uint32)
+                + jnp.sum(graph.rank).astype(jnp.uint32)
+            )
+        return jax.lax.fori_loop(jnp.int32(0), iters, body, jnp.uint32(0))
+
+    def timed(fn, iters: int) -> float:
         t0 = time.perf_counter()
         # pass iters as a traced scalar so every call shares one executable
-        float(bench_loop(codes, lengths, jnp.int32(iters)))
+        float(fn(codes, lengths, jnp.int32(iters)))
         return time.perf_counter() - t0
 
-    timed(1)  # compile + warm
+    timed(bench_loop, 1)  # compile + warm
     # long paired runs so relay dispatch/readback noise (tens of ms) is
     # amortized over 100 iterations and cancels in the difference
-    d_lo = timed(4)
-    d_hi = timed(104)
+    d_lo = timed(bench_loop, 4)
+    d_hi = timed(bench_loop, 104)
     per_iter = (d_hi - d_lo) / 100
     if per_iter <= 0:  # pathological noise: amortize a single long run
-        per_iter = timed(100) / 100
-
+        per_iter = timed(bench_loop, 100) / 100
     windows_per_s = n_windows / per_iter
+
+    # extension: difference two loops sharing every stage but links+jump
+    timed(base_loop, 1)
+    timed(ext_loop, 1)
+    EXT_ITERS = 20
+    base_t = timed(base_loop, EXT_ITERS)
+    ext_t = timed(ext_loop, EXT_ITERS)
+    ext_per_iter = (ext_t - base_t) / EXT_ITERS
+    # 2 states per node; every window of the random batch is distinct
+    n_states = 2 * n_windows
+    ext_states_per_s = n_states / max(ext_per_iter, 1e-9)
+
     print(
         json.dumps(
             {
@@ -85,6 +140,10 @@ def main() -> None:
                 "value": round(windows_per_s, 1),
                 "unit": "kmers/s/chip",
                 "vs_baseline": round(windows_per_s / REFERENCE_WINDOWS_PER_S, 2),
+                "extension_states_per_s": round(ext_states_per_s, 1),
+                "extension_vs_baseline": round(
+                    ext_states_per_s / REFERENCE_EXT_STATES_PER_S, 2
+                ),
             }
         )
     )

@@ -349,8 +349,78 @@ class ParityAssembler:
     def pruned_table(
         self, reads: Sequence[str]
     ) -> Tuple[table_ops.HostTable, PhaseStats]:
+        if self._needs_outofcore(reads):
+            return self._groups_outofcore(reads, self.config.abundance_cutoff)
         counted, stats = self.counter.count_reads(reads)
         host = table_ops.extract_groups(counted, pruned=True)
+        return host, stats
+
+    def _needs_outofcore(self, reads: Sequence[str]) -> bool:
+        """True when the 5-lane parity record set exceeds the HBM budget."""
+        cfg = self.config
+        n_batches = max(1, -(-len(reads) // cfg.batch_reads))
+        n_win = cfg.max_read_len - cfg.k + 1
+        total_slots = n_batches * cfg.batch_reads * n_win
+        return total_slots * 20 > cfg.outofcore_bytes
+
+    def _groups_outofcore(
+        self, reads: Sequence[str], cutoff: int
+    ) -> Tuple[table_ops.HostTable, PhaseStats]:
+        """Hash-partitioned multi-pass parity counting (ops/outofcore.py).
+
+        Bit-parity is preserved: partitions cover complete (mmer, kmer)
+        groups and every group carries its global first-seen stream index,
+        so the merged table is in the reference's exact insertion order
+        (binning.c:1158-1165's monotone read stream).
+        """
+        from genome_assembly_tpu.ops import outofcore
+
+        cfg = self.config
+        stats = PhaseStats(n_reads=len(reads))
+        batches = reads_io.batch_reads(reads, cfg.max_read_len, cfg.batch_reads)
+        if not batches:
+            raise ValueError("no reads")
+        if len(batches) > 1:
+            batches[-1] = reads_io.pad_batch(batches[-1], cfg.batch_reads)
+        n_win = cfg.max_read_len - cfg.k + 1
+        total_slots = len(batches) * cfg.batch_reads * n_win
+        sent = np.uint32(0xFFFFFFFF)
+
+        def batch_records(b):
+            codes = jnp.asarray(batches[b].codes)
+            lengths = jnp.asarray(batches[b].lengths)
+            rids = jnp.asarray(batches[b].read_ids)
+            recs = self.counter.scan(codes, lengths)
+            rows, nw = recs.mmer.shape
+            n = rows * nw
+            mm = jnp.where(recs.valid, recs.mmer, sent).reshape(n)
+            hi = recs.kmer_hi.reshape(n)
+            lo = recs.kmer_lo.reshape(n)
+            rid = jnp.broadcast_to(rids[:, None], (rows, nw)).reshape(n)
+            stream = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(
+                b * cfg.batch_reads * n_win
+            )
+            return mm, hi, lo, rid, stream
+
+        partitions = max(
+            1, int(np.ceil(total_slots * 20 / (cfg.outofcore_bytes / 3)))
+        )
+        host, n_windows, overflows = outofcore.partitioned_count_parity(
+            batch_records,
+            len(batches),
+            partitions=partitions,
+            cutoff=cutoff,
+        )
+        if overflows:
+            raise RuntimeError(
+                f"out-of-core parity counting overflowed ({overflows}); "
+                "raise the slack factor"
+            )
+        stats.n_windows = n_windows
+        stats.entries_pre_prune = len(host.mmer) if cutoff < 0 else 0
+        stats.entries_post_prune = (
+            len(host.mmer) if cutoff >= 0 else 0
+        )
         return host, stats
 
     def pruned_table_dict(self, reads: Sequence[str]) -> Dict:
@@ -378,8 +448,13 @@ class ParityAssembler:
             return self._assemble_sharded(reads, mesh, verbose), PhaseStats(
                 n_reads=len(reads)
             )
-        counted, stats = self.counter.count_reads(reads)
-        host_all = table_ops.extract_groups(counted, pruned=False)
+        if self._needs_outofcore(reads):
+            # hash-partitioned multi-pass counting; cutoff -1 keeps every
+            # group -- the replay performs the reference's own pruning
+            host_all, stats = self._groups_outofcore(reads, -1)
+        else:
+            counted, stats = self.counter.count_reads(reads)
+            host_all = table_ops.extract_groups(counted, pruned=False)
         if engine == "auto":
             try:
                 from genome_assembly_tpu.native import replay_native

@@ -143,6 +143,299 @@ def extract_partition_group3(
     return jnp.stack(his), jnp.stack(los), jnp.stack(pays), jnp.stack(ovfs)
 
 
+@functools.partial(jax.jit, static_argnames=("partitions", "cap_bp"))
+def extract_partition_group5(
+    mmer: jnp.ndarray,
+    khi: jnp.ndarray,
+    klo: jnp.ndarray,
+    rid: jnp.ndarray,
+    stream: jnp.ndarray,
+    group: jnp.ndarray,
+    *,
+    partitions: int,
+    cap_bp: int,
+):
+    """Five-lane (parity-record) variant of :func:`extract_partition_group`.
+
+    Parity records are (mmer, kmer_hi, kmer_lo, read_id, stream); the
+    partition hash covers the full (mmer, kmer) group key -- the reference
+    groups by signature bin AND k-mer, so duplicates of a k-mer under two
+    different signatures are distinct entries (SURVEY.md 2.1.4) and must
+    partition together only per (mmer, kmer) pair.  The tag folds into the
+    mmer lane's spare top bits (m <= 15 => mmer < 2^30).
+    Returns ([GROUP, cap_bp] x 5, overflows [GROUP]).
+    """
+    h = (mmer * _HASH_A) ^ (khi * _HASH_B) ^ (klo * jnp.uint32(0x9E3779B9))
+    pid = ((h >> 9) % jnp.uint32(partitions)).astype(jnp.int32)
+    rel = pid - group.astype(jnp.int32) * GROUP
+    keep = (rel >= 0) & (rel < GROUP) & (mmer != SENTINEL)
+    rel_u = jnp.where(keep, rel, 0).astype(jnp.uint32)
+    comp = jnp.where(keep, (rel_u << 30) | mmer, SENTINEL)
+    khi_m = jnp.where(keep, khi, SENTINEL)
+    klo_m = jnp.where(keep, klo, SENTINEL)
+    rid_m = jnp.where(keep, rid, SENTINEL)
+    str_m = jnp.where(keep, stream, SENTINEL)
+    comp_s, khi_s, klo_s, rid_s, str_s = lax.sort(
+        (comp, khi_m, klo_m, rid_m, str_m), num_keys=1, is_stable=True
+    )
+    n = comp_s.shape[0]
+    bounds = jnp.searchsorted(
+        comp_s, jnp.arange(GROUP, dtype=jnp.uint32) << 30, side="left"
+    ).astype(jnp.int32)
+    outs = ([], [], [], [], [])
+    ovfs = []
+    for r in range(GROUP):
+        start = jnp.clip(bounds[r], 0, n - cap_bp) if cap_bp <= n else 0
+        lanes = [
+            lax.dynamic_slice_in_dim(x, start, cap_bp)
+            for x in (comp_s, khi_s, klo_s, rid_s, str_s)
+        ]
+        member = (lanes[0] >> 30) == r
+        outs[0].append(
+            jnp.where(member, lanes[0] & jnp.uint32((1 << 30) - 1), SENTINEL)
+        )
+        for j in range(1, 5):
+            outs[j].append(jnp.where(member, lanes[j], SENTINEL))
+        probe = jnp.clip(bounds[r] + cap_bp, 0, n - 1)
+        ovfs.append(((comp_s[probe] >> 30) == r) & (bounds[r] + cap_bp < n))
+    return tuple(jnp.stack(o) for o in outs) + (jnp.stack(ovfs),)
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff",))
+def _count_parity_partition(mmer, khi, klo, rid, stream, *, cutoff):
+    """Sort one partition's parity records and compute group structure.
+
+    Groups are complete (all records of a (mmer, kmer) share its hash), so
+    counts and the prune mask have their global meaning.  The stable
+    4-key sort keeps each group's payload in stream order, matching
+    count_and_prune's contract for the replay engine.
+    """
+    from genome_assembly_tpu.ops.count import group_counts
+
+    mmer_s, khi_s, klo_s, str_s, rid_s = lax.sort(
+        (mmer, khi, klo, stream, rid), num_keys=4, is_stable=True
+    )
+    valid_s = mmer_s != SENTINEL
+    prev_same = jnp.concatenate(
+        [
+            jnp.zeros((1,), dtype=bool),
+            (mmer_s[1:] == mmer_s[:-1])
+            & (khi_s[1:] == khi_s[:-1])
+            & (klo_s[1:] == klo_s[:-1]),
+        ]
+    )
+    group_start = ~prev_same
+    count = group_counts(group_start)
+    keep = group_start & valid_s & (count > cutoff)
+    return mmer_s, khi_s, klo_s, rid_s, str_s, valid_s, group_start, count, keep
+
+
+def partitioned_count_parity(
+    batch_records: Callable[[int], tuple],
+    n_batches: int,
+    *,
+    partitions: int,
+    cutoff: int,
+    slack: float = 1.6,
+    checkpoint_dir: str | None = None,
+):
+    """Out-of-core PARITY counting: the payload-carrying analogue of
+    :func:`partitioned_count`.
+
+    batch_records(i) -> (mmer, khi, klo, rid, stream) flat uint32 lanes for
+    batch i (SENTINEL mmer = invalid), regenerated per group pass (ceil(P/3)
+    scans per batch).  Returns a parity HostTable
+    (genome_assembly_tpu.parity.table.HostTable) holding every group
+    (cutoff -1; the replay engine prunes with the reference's own
+    semantics) or only surviving groups (cutoff >= 0), in global
+    first-seen order -- plus (n_windows, batch_overflows).
+
+    Replay-order correctness: each group's first_seen stream index is
+    global, so ordering across partitions is exactly the reference's
+    insertion order regardless of which pass counted the group
+    (NOTES.md round-1 plan item 3).
+
+    checkpoint_dir: per-partition group checkpoints (part_<p>_parity.npz),
+    resumable like the fast-mode count.
+    """
+    from genome_assembly_tpu.parity import table as table_ops
+
+    probe = batch_records(0)
+    batch_slots = int(probe[0].shape[0])
+    cap_bp = min(
+        batch_slots,
+        int(np.ceil(batch_slots / partitions * slack)) + 1,
+    )
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        import json
+        import pathlib
+
+        ckpt = pathlib.Path(checkpoint_dir)
+        ckpt.mkdir(parents=True, exist_ok=True)
+        fp = {
+            "format": 1,
+            "mode": "parity",
+            "partitions": partitions,
+            "cutoff": cutoff,
+            "slack": slack,
+            "n_batches": n_batches,
+            "batch_slots": batch_slots,
+        }
+        meta_path = ckpt / "meta_parity.json"
+        if meta_path.exists():
+            old = json.loads(meta_path.read_text())
+            if old != fp:
+                raise ValueError(
+                    f"checkpoint_dir {ckpt} was written by a different "
+                    f"parity configuration: {old} != {fp}"
+                )
+        else:
+            meta_path.write_text(json.dumps(fp))
+
+    g_mmer, g_hi, g_lo, g_count, g_first = [], [], [], [], []
+    g_ids: list = []
+    n_windows = 0
+    batch_overflows = 0
+    n_groups = (partitions + GROUP - 1) // GROUP
+
+    def part_path(p):
+        return ckpt / f"part_{p}_parity.npz" if ckpt is not None else None
+
+    def load_part(p):
+        saved = np.load(part_path(p))
+        return (
+            saved["mmer"], saved["khi"], saved["klo"], saved["count"],
+            saved["first"], saved["flat_ids"], int(saved["overflows"]),
+        )
+
+    def accumulate(mm, hi, lo, cnt, first, flat_ids):
+        g_mmer.append(mm)
+        g_hi.append(hi)
+        g_lo.append(lo)
+        g_count.append(cnt)
+        g_first.append(first)
+        g_ids.append(flat_ids)
+
+    for g in range(n_groups):
+        group_parts = [
+            p for p in range(g * GROUP, min((g + 1) * GROUP, partitions))
+        ]
+        missing = [
+            p for p in group_parts
+            if ckpt is None or not part_path(p).exists()
+        ]
+        if not missing:
+            for p in group_parts:
+                mm, hi, lo, cnt, first, flat, bo = load_part(p)
+                accumulate(mm, hi, lo, cnt, first, flat)
+                batch_overflows += bo
+            if g == 0 and ckpt is not None:
+                # the window count was taken during group 0's live pass
+                n_windows += int(np.load(ckpt / "windows_parity.npy"))
+            continue
+
+        staged = [([], [], [], [], []) for _ in range(GROUP)]
+        ovf_dev = jnp.zeros((GROUP,), jnp.int32)
+        # uint32 accumulator (x64 is disabled): good to 4.29G windows,
+        # i.e. any single-host parity run
+        win_dev = jnp.zeros((), jnp.uint32)
+        for b in range(n_batches):
+            mm, hi, lo, rid, stream = batch_records(b)
+            if g == 0:
+                win_dev = win_dev + jnp.sum(mm != SENTINEL, dtype=jnp.uint32)
+            gm, gh, gl, gr, gs, ovf = extract_partition_group5(
+                mm, hi, lo, rid, stream, jnp.uint32(g),
+                partitions=partitions, cap_bp=cap_bp,
+            )
+            for r in range(GROUP):
+                staged[r][0].append(gm[r])
+                staged[r][1].append(gh[r])
+                staged[r][2].append(gl[r])
+                staged[r][3].append(gr[r])
+                staged[r][4].append(gs[r])
+            ovf_dev = ovf_dev + ovf.astype(jnp.int32)
+        group_overflows = np.asarray(ovf_dev)
+        if g == 0:
+            n_windows += int(win_dev)
+            if ckpt is not None:
+                np.save(ckpt / "windows_parity.npy", np.int64(n_windows))
+
+        for r in range(GROUP):
+            p = g * GROUP + r
+            if p >= partitions:
+                continue
+            if ckpt is not None and part_path(p).exists():
+                mm, hi, lo, cnt, first, flat, bo = load_part(p)
+                accumulate(mm, hi, lo, cnt, first, flat)
+                batch_overflows += bo
+                continue
+            pass_overflows = int(group_overflows[r])
+            batch_overflows += pass_overflows
+            lanes = [jnp.concatenate(staged[r][j]) for j in range(5)]
+            staged[r] = None
+            sorted_lanes = _count_parity_partition(*lanes, cutoff=cutoff)
+            del lanes
+            # host-side group slicing (same layout as table.extract_groups)
+            mmer_h = np.asarray(sorted_lanes[0])
+            khi_h = np.asarray(sorted_lanes[1])
+            klo_h = np.asarray(sorted_lanes[2])
+            rid_h = np.asarray(sorted_lanes[3])
+            str_h = np.asarray(sorted_lanes[4])
+            valid_h = np.asarray(sorted_lanes[5])
+            gs_h = np.asarray(sorted_lanes[6])
+            cnt_h = np.asarray(sorted_lanes[7])
+            keep_h = np.asarray(sorted_lanes[8])
+            del sorted_lanes
+            starts = np.flatnonzero(keep_h if cutoff >= 0 else (gs_h & valid_h))
+            sizes = cnt_h[starts].astype(np.int64)
+            off = np.zeros(len(starts) + 1, dtype=np.int64)
+            np.cumsum(sizes, out=off[1:])
+            flat = np.empty(off[-1], dtype=np.uint32)
+            for i, (s, c) in enumerate(zip(starts, sizes)):
+                flat[off[i] : off[i + 1]] = rid_h[s : s + c]
+            accumulate(
+                mmer_h[starts], khi_h[starts], klo_h[starts],
+                cnt_h[starts].astype(np.int32), str_h[starts], flat,
+            )
+            if ckpt is not None:
+                tmp = ckpt / f"part_{p}_parity.tmp.npz"
+                np.savez_compressed(
+                    tmp,
+                    mmer=g_mmer[-1], khi=g_hi[-1], klo=g_lo[-1],
+                    count=g_count[-1], first=g_first[-1], flat_ids=flat,
+                    overflows=np.int64(pass_overflows),
+                )
+                tmp.rename(part_path(p))
+
+    # merge partitions in global first-seen order
+    mmer_all = np.concatenate(g_mmer) if g_mmer else np.zeros(0, np.uint32)
+    hi_all = np.concatenate(g_hi) if g_hi else np.zeros(0, np.uint32)
+    lo_all = np.concatenate(g_lo) if g_lo else np.zeros(0, np.uint32)
+    cnt_all = np.concatenate(g_count) if g_count else np.zeros(0, np.int32)
+    first_all = np.concatenate(g_first) if g_first else np.zeros(0, np.uint32)
+    sizes_all = cnt_all.astype(np.int64)
+    off_all = np.zeros(len(cnt_all) + 1, dtype=np.int64)
+    np.cumsum(sizes_all, out=off_all[1:])
+    flat_all = (
+        np.concatenate(g_ids) if g_ids else np.zeros(0, np.uint32)
+    )
+    order = np.argsort(first_all, kind="stable")
+    read_ids = [
+        flat_all[off_all[i] : off_all[i + 1]].astype(np.uint32) for i in order
+    ]
+    host = table_ops.HostTable(
+        mmer=mmer_all[order],
+        kmer_hi=hi_all[order],
+        kmer_lo=lo_all[order],
+        count=cnt_all[order],
+        first_seen=first_all[order],
+        read_ids=read_ids,
+    )
+    return host, n_windows, batch_overflows
+
+
 class PartitionedCount(NamedTuple):
     """Union of per-partition pruned keys (unordered across partitions)."""
 

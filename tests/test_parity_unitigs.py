@@ -34,6 +34,45 @@ def test_input_k6m3_unitigs_exact(engine):
 
 
 @pytest.mark.parametrize("engine", ["python", "native"])
+def test_input_k6m3_outofcore_exact(engine):
+    """Out-of-core parity counting (hash-partitioned multi-pass,
+    ops/outofcore.partitioned_count_parity) is bit-exact: same golden
+    unitigs in the same order as the in-core path (VERDICT round 1 item 4).
+    outofcore_bytes is forced below the record size so the partitioned
+    path engages (6 partitions here -> 2 re-scan passes)."""
+    cfg = PipelineConfig(
+        k=6, m=3, max_read_len=32, batch_reads=64, outofcore_bytes=20_000
+    )
+    asm = ParityAssembler(cfg)
+    reads = asm.load("/root/reference/input.txt")
+    assert asm._needs_outofcore(reads)
+    lines, stats = asm.assemble(reads, engine=engine)
+    assert lines == _golden_lines("input_k6m3_unitigs.txt")
+    assert stats.n_windows > 0
+
+
+def test_outofcore_multibatch_matches_incore():
+    """Multi-batch out-of-core parity == in-core, including the pruned
+    table artifact, on generated reads spanning several device batches."""
+    from genome_assembly_tpu.io import datagen
+
+    _, reads, _ = datagen.generate_coverage_reads(
+        genome_len=600, read_len=30, coverage=6, seed=9, with_reverse=False
+    )
+    base = dict(k=8, m=4, max_read_len=32, batch_reads=32)
+    incore = ParityAssembler(PipelineConfig(**base))
+    ooc = ParityAssembler(
+        PipelineConfig(**base, outofcore_bytes=50_000)
+    )
+    assert not incore._needs_outofcore(reads)
+    assert ooc._needs_outofcore(reads)
+    want, _ = incore.assemble(reads)
+    got, _ = ooc.assemble(reads)
+    assert got == want
+    assert incore.pruned_table_dict(reads) == ooc.pruned_table_dict(reads)
+
+
+@pytest.mark.parametrize("engine", ["python", "native"])
 def test_input_k6m3_verbose_exact(engine):
     """print_kmer_read_ids format -- feeds the reference's plot harness."""
     cfg = PipelineConfig(k=6, m=3, max_read_len=32, batch_reads=64)
