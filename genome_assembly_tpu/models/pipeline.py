@@ -429,7 +429,7 @@ class ParityAssembler:
 
     def assemble(
         self, reads: Sequence[str], engine: str = "auto", verbose: bool = False,
-        mesh=None,
+        mesh=None, routing: str = "padded",
     ):
         """Full parity pipeline -> unitig lines in the reference's exact
         print order (print_kmers, binning.c:827-843).
@@ -438,16 +438,18 @@ class ParityAssembler:
         'auto' (native if built, else python).
         verbose: return the print_kmer_read_ids text instead of unitig lines.
         mesh: optional jax Mesh -- counting runs distributed (minimizer
-        all_to_all) and still feeds the same bit-exact replay, because each
-        group carries its global first-seen stream index.
+        all_to_all, any number of batches) and still feeds the same
+        bit-exact replay, because each group carries its global first-seen
+        stream index.
+        routing: "padded" or "ragged" record exchange for the mesh path.
         """
         from genome_assembly_tpu.parity import replay as replay_mod
 
         cfg = self.config
         if mesh is not None:
-            return self._assemble_sharded(reads, mesh, verbose), PhaseStats(
-                n_reads=len(reads)
-            )
+            return self._assemble_sharded(
+                reads, mesh, verbose, routing=routing
+            ), PhaseStats(n_reads=len(reads))
         if self._needs_outofcore(reads):
             # hash-partitioned multi-pass counting; cutoff -1 keeps every
             # group -- the replay performs the reference's own pruning
@@ -494,26 +496,36 @@ class ParityAssembler:
             text = "\n".join(text)
         return parse_verbose_table(text)
 
-    def _assemble_sharded(self, reads: Sequence[str], mesh, verbose: bool):
-        """Distributed counting (minimizer all_to_all) -> native replay."""
+    def _assemble_sharded(
+        self, reads: Sequence[str], mesh, verbose: bool,
+        routing: str = "padded",
+    ):
+        """Distributed counting (minimizer all_to_all) -> native replay.
+
+        Reads of any size: batches stream through the mesh and each shard
+        accumulates its owned records across batches, so groups spanning
+        batches stay whole (sharded_count_batches).  routing="ragged"
+        exchanges exact record counts -- the skew-robust path.
+        """
         from genome_assembly_tpu.native import replay_native
         from genome_assembly_tpu.parallel import shard_count
 
         cfg = self.config
         n_shards = int(np.prod(list(mesh.shape.values())))
-        batches = reads_io.batch_reads(reads, cfg.max_read_len)
-        (batch,) = batches  # single padded batch; multi-batch: future work
-        rows = ((batch.n + n_shards - 1) // n_shards) * n_shards
-        batch = reads_io.pad_batch(batch, rows)
-        sc = shard_count.sharded_count(
-            jnp.asarray(batch.codes),
-            jnp.asarray(batch.lengths),
-            jnp.asarray(batch.read_ids),
+        rows = max(
+            n_shards,
+            ((cfg.batch_reads + n_shards - 1) // n_shards) * n_shards,
+        )
+        batches = reads_io.batch_reads(reads, cfg.max_read_len, rows)
+        batches = [reads_io.pad_batch(b, rows) for b in batches]
+        sc = shard_count.sharded_count_batches(
+            batches,
             k=cfg.k,
             m=cfg.m,
             parity=True,
             cutoff=-1,  # replay performs the reference's own pruning
             mesh=mesh,
+            routing=routing,
         )
         overflow = int(np.sum(np.asarray(sc.overflow)))
         if overflow:

@@ -277,6 +277,56 @@ def test_join_builder_matches_candidate_builder():
         assert np.array_equal(a, b), (trial, k, glen)
 
 
+def test_pointer_jump_bulk_matches_fused():
+    """pointer_jump_bulk (per-round donated-buffer variant for huge
+    graphs) == pointer_jump on chains, cycles, and isolated states."""
+    rng = np.random.default_rng(3)
+    for glen, k in [(60, 5), (400, 11), (1200, 31)]:
+        genome = "".join(rng.choice(list("ACGT"), size=glen))
+        keys = sorted({encode.pack_str(canon(x)) for x in genome_kmers(genome, k)})
+        pad = max(8, 1 << int(np.ceil(np.log2(max(len(keys), 2)))))
+        n_lo = min(k, 16)
+        hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+        lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+        valid = np.zeros(pad, dtype=bool)
+        for i, v in enumerate(keys):
+            hi[i] = v >> (2 * n_lo)
+            lo[i] = v & ((1 << (2 * n_lo)) - 1)
+            valid[i] = True
+        links = dbg.build_unitig_links_join(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid), k=k
+        )
+        a = dbg.pointer_jump(links)
+        b = dbg.pointer_jump_bulk(links)
+        assert np.array_equal(np.asarray(a.head), np.asarray(b.head))
+        assert np.array_equal(np.asarray(a.rank), np.asarray(b.rank))
+        assert np.array_equal(np.asarray(a.is_cycle), np.asarray(b.is_cycle))
+
+    # explicit cycle: the repeated period from test_cycle_genome
+    k = 5
+    period = "ACGGTCA"
+    s = period * 3
+    keys = sorted(
+        {encode.pack_str(canon(s[i : i + k])) for i in range(len(period))}
+    )
+    hi = np.full(32, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(32, 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros(32, dtype=bool)
+    for i, v in enumerate(keys):
+        hi[i] = v >> (2 * min(k, 16))
+        lo[i] = v & ((1 << (2 * min(k, 16))) - 1)
+        valid[i] = True
+    links = dbg.build_unitig_links_join(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid), k=k
+    )
+    a = dbg.pointer_jump(links)
+    b = dbg.pointer_jump_bulk(links)
+    assert np.asarray(a.is_cycle).any()  # the construction really cycles
+    assert np.array_equal(np.asarray(a.head), np.asarray(b.head))
+    assert np.array_equal(np.asarray(a.rank), np.asarray(b.rank))
+    assert np.array_equal(np.asarray(a.is_cycle), np.asarray(b.is_cycle))
+
+
 def test_ooc_link_builder_matches_join():
     """build_unitig_links_ooc (hash-partitioned multi-pass) ==
     build_unitig_links_join across k widths, partition counts, and chunk

@@ -169,6 +169,24 @@ def test_distributed_parity_exact_unitigs(mesh8):
     assert lines == golden
 
 
+@pytest.mark.parametrize("routing", ["padded", "ragged"])
+def test_distributed_parity_multibatch_exact(mesh8, routing):
+    """Multi-batch distributed parity (reads spanning several device
+    batches, groups spanning batches) == single-device output exactly,
+    under both padded and ragged routing (VERDICT round 1 item 5)."""
+    from genome_assembly_tpu.io import datagen
+
+    _, reads, _ = datagen.generate_coverage_reads(
+        genome_len=500, read_len=30, coverage=8, seed=21, with_reverse=False
+    )
+    cfg = PipelineConfig(k=8, m=4, max_read_len=32, batch_reads=40)
+    asm = ParityAssembler(cfg)
+    assert len(reads) > cfg.batch_reads  # really multi-batch
+    want, _ = asm.assemble(reads)
+    got, _ = asm.assemble(reads, mesh=mesh8, routing=routing)
+    assert got == want
+
+
 def test_distributed_fast_pipeline_equals_single_device(mesh8):
     """Full fast pipeline over the mesh == single-device unitig set."""
     from genome_assembly_tpu.models.pipeline import FastAssembler

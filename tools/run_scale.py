@@ -84,6 +84,12 @@ def main() -> int:
         help="host-materialize the unitig strings after the jump and "
         "report their count/total length (memory-heavy at chr scale)",
     )
+    ap.add_argument(
+        "--checkpoint-dir",
+        default="",
+        help="directory for resumable out-of-core count partition "
+        "checkpoints (killed runs resume at the last finished pass)",
+    )
     args = ap.parse_args()
     cfg = PRESETS[args.preset]
 
@@ -158,20 +164,14 @@ def main() -> int:
         return khi[:kept_cap], klo[:kept_cap], valid[:kept_cap], n_distinct, n_kept
 
     @jax.jit
-    def jump_stats(links, valid):
-        graph = dbg.pointer_jump(links)
+    def graph_stats(head, rank, is_cycle, valid):
         node_valid = jnp.repeat(valid, 2)
-        # chain heads: states nothing links to (pred < 0), linear only
-        n2 = links.shape[0]
-        pred = jnp.full(n2, -1, dtype=jnp.int32)
-        src = jnp.where(links >= 0, links, n2)
-        pred = pred.at[src].set(
-            jnp.arange(n2, dtype=jnp.int32), mode="drop", unique_indices=True
-        )
-        lin_heads = jnp.sum((pred < 0) & node_valid & ~graph.is_cycle)
-        n_cyc_states = jnp.sum(graph.is_cycle & node_valid)
-        max_rank = jnp.max(jnp.where(node_valid, graph.rank, 0))
-        return graph, lin_heads, n_cyc_states, max_rank
+        ids = jnp.arange(head.shape[0], dtype=jnp.int32)
+        # a linear chain's head state is its own head (isolated states too)
+        lin_heads = jnp.sum((head == ids) & node_valid & ~is_cycle)
+        n_cyc_states = jnp.sum(is_cycle & node_valid)
+        max_rank = jnp.max(jnp.where(node_valid, rank, 0))
+        return lin_heads, n_cyc_states, max_rank
 
     t0 = time.perf_counter()
     genome = make_genome(kg)
@@ -207,6 +207,7 @@ def main() -> int:
             cutoff=CUTOFF,
             kept_cap=kept_cap,
             pallas_sort=args.pallas_sort,
+            checkpoint_dir=args.checkpoint_dir or None,
         )
         assert pc.batch_overflows == 0, "raise outofcore slack"
         assert not pc.kept_overflow, f"raise kept_cap (kept={pc.n_kept})"
@@ -296,12 +297,31 @@ def main() -> int:
                 partitions=link_partitions, chunk_nodes=args.link_chunk,
             )
             assert link_ovf == 0, "raise link slack"
-            links.block_until_ready()
+            float(links[0])  # hard sync (relay ignores block_until_ready)
             emit("links", wall_s=round(time.perf_counter() - t0, 3),
                  partitions=link_partitions)
         else:
             links = dbg.build_unitig_links_join(khi, klo, valid, k=K)
-        graph, lin_heads, n_cyc_states, max_rank = jump_stats(links, valid)
+        # above ~64M states: per-round donated-buffer jump (pointer_jump's
+        # fused while_loop double-buffers 3 full carries and OOMs at
+        # celegans scale); keys are parked on the host meanwhile unless
+        # materialization needs... they are re-uploaded only if needed.
+        if 2 * n_nodes > 1 << 26:
+            khi_h, klo_h, valid_h = (
+                np.asarray(khi), np.asarray(klo), np.asarray(valid))
+            del khi, klo
+            valid_dev = valid
+            del valid
+            graph = dbg.pointer_jump_bulk(links)
+            lin_heads, n_cyc_states, max_rank = graph_stats(
+                graph.head, graph.rank, graph.is_cycle, valid_dev
+            )
+            khi, klo, valid = khi_h, klo_h, valid_h
+        else:
+            graph = dbg.pointer_jump(links)
+            lin_heads, n_cyc_states, max_rank = graph_stats(
+                graph.head, graph.rank, graph.is_cycle, valid
+            )
         lin_heads = int(lin_heads)
     except Exception as exc:
         emit("extension_failed", error=str(exc)[:200])
