@@ -515,8 +515,8 @@ def pointer_jump(next_state: jnp.ndarray) -> CompactedGraph:
     )
 
 
-@jax.jit
-def _jump_init(next_state: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("lanes",))
+def _jump_init(next_state: jnp.ndarray, lanes: int = 2):
     n2 = next_state.shape[0]
     ids = jnp.arange(n2, dtype=jnp.int32)
     pred = jnp.full(n2, -1, dtype=jnp.int32)
@@ -524,18 +524,20 @@ def _jump_init(next_state: jnp.ndarray):
     pred = pred.at[src].set(ids, mode="drop", unique_indices=True)
     parent = jnp.where(pred >= 0, pred, ids)
     rank = (pred >= 0).astype(jnp.int32)
-    min_id = jnp.minimum(ids, parent)
-    return jnp.stack([parent, rank, min_id], axis=1), pred
+    cols = [parent, rank]
+    if lanes == 3:
+        cols.append(jnp.minimum(ids, parent))
+    return jnp.stack(cols, axis=1), pred
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _jump_round(tbl: jnp.ndarray):
     parent = tbl[:, 0]
     g = tbl[parent]
-    new = jnp.stack(
-        [g[:, 0], tbl[:, 1] + g[:, 1], jnp.minimum(tbl[:, 2], g[:, 2])],
-        axis=1,
-    )
+    cols = [g[:, 0], tbl[:, 1] + g[:, 1]]
+    if tbl.shape[1] == 3:
+        cols.append(jnp.minimum(tbl[:, 2], g[:, 2]))
+    new = jnp.stack(cols, axis=1)
     return new, jnp.any(new[:, 0] != parent)
 
 
@@ -543,7 +545,8 @@ def _jump_round(tbl: jnp.ndarray):
 def _jump_finish(tbl: jnp.ndarray, pred: jnp.ndarray, next_state: jnp.ndarray):
     parent = tbl[:, 0]
     is_cycle = pred[parent] >= 0
-    head = jnp.where(is_cycle, tbl[:, 2], parent)
+    min_lane = tbl[:, 2] if tbl.shape[1] == 3 else parent
+    head = jnp.where(is_cycle, min_lane, parent)
     rank = jnp.where(is_cycle, 0, tbl[:, 1])
     return CompactedGraph(
         next_state=next_state, head=head, rank=rank, is_cycle=is_cycle
@@ -556,18 +559,33 @@ def pointer_jump_bulk(next_state: jnp.ndarray) -> CompactedGraph:
     The fused while_loop version double-buffers three full-size loop
     carries plus the gather table -- too much at chromosome scale (268M
     states OOM'd a 16 GB chip).  Here each doubling round is its own jitted
-    call over ONE donated [2N, 3] table, so XLA can alias the carry in
+    call over ONE donated [2N, lanes] table, so XLA can alias the carry in
     place; early exit reads one scalar per round (a hard sync on the relay,
     ~28 round trips at most -- negligible against the gathers it gates).
+
+    The common acyclic case runs with TWO lanes (parent, rank); the cycle
+    representative (min state id on the cycle) needs a min lane carried
+    through every round, so when cycles are detected the doubling reruns
+    once with three lanes.  Real assemblies at k=31 are overwhelmingly
+    acyclic, and the rerun costs exactly one more pass over the same
+    graph when they are not.
     """
     n2 = next_state.shape[0]
     steps = max(1, int(np.ceil(np.log2(max(n2, 2)))) + 1)
-    tbl, pred = _jump_init(next_state)
-    for _ in range(steps):
-        tbl, changed = _jump_round(tbl)
-        if not bool(changed):
-            break
-    return _jump_finish(tbl, pred, next_state)
+
+    def run(lanes):
+        tbl, pred = _jump_init(next_state, lanes)
+        for _ in range(steps):
+            tbl, changed = _jump_round(tbl)
+            if not bool(changed):
+                break
+        return _jump_finish(tbl, pred, next_state)
+
+    graph = run(2)
+    if bool(jnp.any(graph.is_cycle)):
+        del graph  # free before the wider rerun
+        graph = run(3)
+    return graph
 
 
 _CODE_CHARS = np.frombuffer(b"TGCA", dtype=np.uint8)
