@@ -105,11 +105,37 @@ def cmd_assemble(args) -> int:
                     from genome_assembly_tpu.io.reads import load_fasta
 
                     seqs = load_fasta(args.reads_file)
-                    unitigs, stats = asm.unitigs_from_sequences(seqs)
+                    if getattr(args, "coverage", False):
+                        # long sequences chunked exactly as unitigs_from_sequences
+                        from genome_assembly_tpu.io import reads as reads_io
+
+                        chunks = []
+                        for s in seqs:
+                            if len(s) <= cfg.max_read_len:
+                                chunks.append(s)
+                            else:
+                                chunks.extend(
+                                    reads_io.chunk_long_sequence(
+                                        s, cfg.max_read_len, cfg.k
+                                    )
+                                )
+                        unitigs, occ, nk, stats = asm.unitigs_with_coverage(chunks)
+                    else:
+                        unitigs, stats = asm.unitigs_from_sequences(seqs)
+                elif getattr(args, "coverage", False):
+                    reads = asm.load(args.reads_file)
+                    unitigs, occ, nk, stats = asm.unitigs_with_coverage(reads)
                 else:
                     reads = asm.load(args.reads_file)
                     unitigs, stats = asm.unitigs(reads)
-                sys.stdout.write("\n".join(unitigs) + ("\n" if unitigs else ""))
+                if getattr(args, "coverage", False):
+                    lines = [
+                        f"{u}\t{int(n)}\t{s / n:.3f}"
+                        for u, s, n in zip(unitigs, occ, nk)
+                    ]
+                else:
+                    lines = unitigs
+                sys.stdout.write("\n".join(lines) + ("\n" if lines else ""))
                 extra["entries_post_prune"] = stats.entries_post_prune
                 extra["n_unitigs"] = stats.entries_post_extension
                 extra["n_windows"] = stats.n_windows
@@ -273,6 +299,9 @@ def main(argv=None) -> int:
     a.add_argument("--fasta", action="store_true",
                    help="fast mode: treat input as FASTA (multi-line records, "
                         "long sequences chunked with k-1 overlap)")
+    a.add_argument("--coverage", action="store_true",
+                   help="fast mode: emit TSV unitig<TAB>n_kmers<TAB>mean_cov "
+                        "(per-unitig mean k-mer occurrence count)")
     _add_pipeline_args(a)
     a.set_defaults(fn=cmd_assemble)
 

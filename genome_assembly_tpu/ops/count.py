@@ -224,6 +224,77 @@ def key_group_counts(kc: KeyCounts) -> jnp.ndarray:
 
 
 @jax.jit
+def kept_keys_sorted_with_counts(kc: KeyCounts):
+    """kept_keys_sorted plus each kept key's occurrence count.
+
+    The count lane rides the compaction sort as a payload, so the returned
+    counts align row-for-row with the compacted keys -- the coverage
+    channel the reference carries as per-BP read-id lists
+    (binning.c:154-195, 857-888) reduced to its abundance signal.
+
+    Returns (hi, lo, valid, count) all shaped like the input; count is 0
+    on sentinel rows.
+    """
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    counts = group_counts(kc.group_start)
+    hi = jnp.where(kc.keep, kc.kmer_hi, sentinel)
+    lo = jnp.where(kc.keep, kc.kmer_lo, sentinel)
+    cnt = jnp.where(kc.keep, counts, 0).astype(jnp.uint32)
+    # kept keys are distinct, so the 2-key sort has no real ties; sentinel
+    # ties all carry count 0
+    hi_c, lo_c, cnt_c = lax.sort((hi, lo, cnt), num_keys=2)
+    return hi_c, lo_c, hi_c != sentinel, cnt_c
+
+
+class KeyRidCounts(NamedTuple):
+    """Fast-mode counted keys carrying per-occurrence read ids.
+
+    Sorted by (hi, lo, rid): occurrences of one k-mer are adjacent with
+    ascending read ids -- the CSR value order.  Cheaper than the parity
+    path's 5-lane sort (no mmer or stream lane; fast-mode canonical k-mers
+    determine their minimizer, so (hi, lo) alone is the group key).
+    """
+
+    kmer_hi: jnp.ndarray
+    kmer_lo: jnp.ndarray
+    read_id: jnp.ndarray
+    valid: jnp.ndarray
+    group_start: jnp.ndarray
+    count: jnp.ndarray
+    keep: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff",))
+def count_keys_rids(
+    records: WindowRecords, read_ids: jnp.ndarray, *, cutoff: int
+) -> KeyRidCounts:
+    """count_keys with a read-id payload lane (fast-mode provenance).
+
+    records: WindowRecords of any shape; read_ids: uint32, same shape as
+    records.kmer_hi (window slot -> owning read).  Occurrence counting
+    matches count_keys exactly; the extra rid key lane only orders
+    occurrences inside each (hi, lo) group.
+    """
+    n = records.kmer_hi.size
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    hi = jnp.where(records.valid, records.kmer_hi, sentinel).reshape(n)
+    lo = jnp.where(records.valid, records.kmer_lo, sentinel).reshape(n)
+    rid = read_ids.reshape(n)
+    hi_s, lo_s, rid_s = lax.sort((hi, lo, rid), num_keys=3)
+    valid = hi_s != sentinel
+    prev_same = jnp.concatenate(
+        [
+            jnp.zeros((1,), dtype=bool),
+            (hi_s[1:] == hi_s[:-1]) & (lo_s[1:] == lo_s[:-1]),
+        ]
+    )
+    group_start = ~prev_same
+    count = group_counts(group_start)
+    keep = group_start & valid & (count > cutoff)
+    return KeyRidCounts(hi_s, lo_s, rid_s, valid, group_start, count, keep)
+
+
+@jax.jit
 def kept_keys_sorted(kc: KeyCounts):
     """Compact kept group-start keys to the front (sorted by key already).
 

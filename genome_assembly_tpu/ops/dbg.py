@@ -608,6 +608,38 @@ def materialize_unitigs(
     strand traversals, the canonical (lexicographically smaller) one is
     kept; palindromic unitigs and cycle rotations are deduped explicitly.
     """
+    unitigs, _, _ = _materialize(khi, klo, valid, graph, k, None)
+    return unitigs
+
+
+def materialize_unitigs_cov(
+    khi: np.ndarray,
+    klo: np.ndarray,
+    valid: np.ndarray,
+    graph: CompactedGraph,
+    k: int,
+    node_counts: np.ndarray,
+) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """materialize_unitigs plus per-unitig abundance coverage.
+
+    node_counts: per-node occurrence counts aligned with khi/klo rows
+    (count.kept_keys_sorted_with_counts).  Returns (unitigs, occ_sum,
+    n_kmers): occ_sum[i] is the total occurrence count of unitig i's
+    constituent canonical k-mers and n_kmers[i] their number, so mean
+    coverage is occ_sum / n_kmers -- the abundance signal the reference
+    carries as per-BP read-id lists (binning.c:857-888).
+    """
+    return _materialize(khi, klo, valid, graph, k, np.asarray(node_counts))
+
+
+def _materialize(
+    khi: np.ndarray,
+    klo: np.ndarray,
+    valid: np.ndarray,
+    graph: CompactedGraph,
+    k: int,
+    node_counts,
+) -> Tuple[List[str], np.ndarray, np.ndarray]:
     khi = np.asarray(khi, dtype=np.uint64)
     klo = np.asarray(klo, dtype=np.uint64)
     valid = np.asarray(valid)
@@ -636,6 +668,8 @@ def materialize_unitigs(
     # --- cycles: re-rank around each cycle with short host walks (rare) ---
     cyc_states = np.flatnonzero(is_cycle & node_valid)
     cycle_strings: List[str] = []
+    cycle_sums: List[int] = []
+    cycle_lens: List[int] = []
     if cyc_states.size:
         seen_cycle_canon = set()
         for h in np.unique(head[cyc_states]):
@@ -659,12 +693,19 @@ def materialize_unitigs(
                 continue
             seen_cycle_canon.add(canon)
             cycle_strings.append(u)
+            if node_counts is not None:
+                cycle_sums.append(int(sum(int(node_counts[s >> 1]) for s in seq)))
+                cycle_lens.append(len(seq))
 
     # --- linear chains: vectorized assembly ---
     lin_mask = node_valid & ~is_cycle
     lin_states = np.flatnonzero(lin_mask)
     if lin_states.size == 0:
-        return cycle_strings
+        return (
+            cycle_strings,
+            np.asarray(cycle_sums, dtype=np.int64),
+            np.asarray(cycle_lens, dtype=np.int64),
+        )
 
     order = np.lexsort((rank[lin_states], head[lin_states]))
     s_sorted = lin_states[order]
@@ -696,8 +737,16 @@ def materialize_unitigs(
         (state_val[s_sorted[not_first]] & np.uint64(3)).astype(np.int64)
     ]
 
+    # per-chain coverage: occurrence counts summed over member nodes
+    if node_counts is not None:
+        chain_sums = np.add.reduceat(
+            node_counts[s_sorted >> 1].astype(np.int64), starts
+        )
+
     all_bytes = buf.tobytes()
     unitigs: List[str] = []
+    occ_sums: List[int] = []
+    n_kmers: List[int] = []
     seen_palindromes = set()
     for c in range(len(starts)):
         u = all_bytes[out_off[c] : out_off[c + 1]].decode()
@@ -709,11 +758,73 @@ def materialize_unitigs(
             if u in seen_palindromes:
                 continue
             seen_palindromes.add(u)
-            unitigs.append(u)
-        elif u < rc_u:
-            unitigs.append(u)
+        elif u >= rc_u:
+            continue
+        unitigs.append(u)
+        if node_counts is not None:
+            occ_sums.append(int(chain_sums[c]))
+            n_kmers.append(int(chain_lens[c]))
     unitigs.extend(cycle_strings)
-    return unitigs
+    occ_sums.extend(cycle_sums)
+    n_kmers.extend(cycle_lens)
+    return (
+        unitigs,
+        np.asarray(occ_sums, dtype=np.int64),
+        np.asarray(n_kmers, dtype=np.int64),
+    )
+
+
+_CHAR_CODE = np.full(256, 255, dtype=np.uint8)
+for _i, _c in enumerate(b"TGCA"):
+    _CHAR_CODE[_c] = _i
+
+
+def unitig_member_nodes(
+    khi: np.ndarray, klo: np.ndarray, unitigs: List[str], k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """CSR of each unitig's constituent canonical k-mer rows.
+
+    khi/klo: the sorted node key lanes the graph was built over.  Returns
+    (offsets [n_unitigs + 1], node_rows): unitig i's k-mers are the rows
+    node_rows[offsets[i]:offsets[i+1]], in walk order.  Vectorized per
+    unitig (sliding-window pack + binary search); every window must be
+    present in the node table (asserted) -- a self-check that the
+    materialized strings spell paths in the dBG.
+    """
+    khi = np.asarray(khi, dtype=np.uint64)
+    klo = np.asarray(klo, dtype=np.uint64)
+    n_lo = min(k, 16)
+    packed = (khi << np.uint64(2 * n_lo)) | klo
+    kmask = (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
+
+    offsets = np.zeros(len(unitigs) + 1, dtype=np.int64)
+    rows_parts = []
+    for i, u in enumerate(unitigs):
+        codes = _CHAR_CODE[np.frombuffer(u.encode(), dtype=np.uint8)].astype(
+            np.uint64
+        )
+        if codes.size < k:
+            raise ValueError(f"unitig shorter than k: {u!r}")
+        win = np.lib.stride_tricks.sliding_window_view(codes, k)
+        shifts = (np.uint64(2) * (np.uint64(k - 1) - np.arange(k, dtype=np.uint64)))
+        fwd = (win << shifts).sum(axis=1, dtype=np.uint64) & kmask
+        comp = (np.uint64(3) - win)[:, ::-1]
+        rev = (comp << shifts).sum(axis=1, dtype=np.uint64) & kmask
+        canon = np.minimum(fwd, rev)
+        pos = np.searchsorted(packed, canon)
+        ok = (pos < packed.size) & (packed[np.minimum(pos, packed.size - 1)] == canon)
+        if not ok.all():
+            raise AssertionError(
+                f"unitig {i} contains k-mers absent from the node table"
+            )
+        rows_parts.append(pos.astype(np.int64))
+        offsets[i + 1] = offsets[i] + pos.size
+    rows = (
+        np.concatenate(rows_parts)
+        if rows_parts
+        else np.zeros(0, dtype=np.int64)
+    )
+    return offsets, rows
 
 
 def _decode_val(value: int, k: int) -> str:

@@ -236,6 +236,11 @@ def _local_merge_pass(h2, l2, *, levels, chunk_rows, width, real_rows,
             jax.ShapeDtypeStruct((rows_padded, width), jnp.uint32),
         ],
         interpret=interpret,
+        # the fused level stack's live temporaries exceed the default 16M
+        # scoped-vmem limit (measured 27.9M at chunk 2^17); v5e has 128M
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(h2, l2)
 
 
@@ -248,20 +253,24 @@ def _merge_kernel(
 ):
     i = pl.program_id(0)
     rows_t = t // width
+    # DMA slice length must be a multiple of the (8, 128) sublane tiling;
+    # the window needs rows_t + 1 rows, so copy rows_t + 8 (pad rows exist
+    # past every possible start, and the extras never reach the output)
+    rows_cp = rows_t + 8
     arow = arow_ref[i]
     brow = brow_ref[i]
     copies = [
         pltpu.make_async_copy(
-            hi_ref.at[pl.ds(arow, rows_t + 1)], sa_hi, sems.at[0]
+            hi_ref.at[pl.ds(arow, rows_cp)], sa_hi, sems.at[0]
         ),
         pltpu.make_async_copy(
-            lo_ref.at[pl.ds(arow, rows_t + 1)], sa_lo, sems.at[1]
+            lo_ref.at[pl.ds(arow, rows_cp)], sa_lo, sems.at[1]
         ),
         pltpu.make_async_copy(
-            hi_ref.at[pl.ds(brow, rows_t + 1)], sb_hi, sems.at[2]
+            hi_ref.at[pl.ds(brow, rows_cp)], sb_hi, sems.at[2]
         ),
         pltpu.make_async_copy(
-            lo_ref.at[pl.ds(brow, rows_t + 1)], sb_lo, sems.at[3]
+            lo_ref.at[pl.ds(brow, rows_cp)], sb_lo, sems.at[3]
         ),
     ]
     for c in copies:
@@ -269,8 +278,8 @@ def _merge_kernel(
     for c in copies:
         c.wait()
 
-    row_i = lax.broadcasted_iota(jnp.int32, (rows_t + 1, width), 0)
-    col_i = lax.broadcasted_iota(jnp.int32, (rows_t + 1, width), 1)
+    row_i = lax.broadcasted_iota(jnp.int32, (rows_cp, width), 0)
+    col_i = lax.broadcasted_iota(jnp.int32, (rows_cp, width), 1)
 
     def window(s_hi, s_lo, row0, w0, wend):
         # loaded rows start at flat position row0*width; align so the
@@ -301,7 +310,7 @@ def _merge_kernel(
 
 def _merge_pass(hi2, lo2, arow, brow, a0, b0, aend, bend, *, t, width,
                 real_rows, interpret):
-    """hi2/lo2: [real_rows + t//width + 1, width] -- real data in the
+    """hi2/lo2: [real_rows + t//width + 8, width] -- real data in the
     first real_rows rows; the pad rows may hold anything (every window
     masks reads beyond its run end, and runs end within the real rows).
     Output has the same padded shape with the pad rows UNWRITTEN."""
@@ -318,10 +327,10 @@ def _merge_pass(hi2, lo2, arow, brow, a0, b0, aend, bend, *, t, width,
         in_specs=[in_spec, in_spec],
         out_specs=[out_spec, out_spec],
         scratch_shapes=[
-            pltpu.VMEM((rows_t + 1, width), jnp.uint32),
-            pltpu.VMEM((rows_t + 1, width), jnp.uint32),
-            pltpu.VMEM((rows_t + 1, width), jnp.uint32),
-            pltpu.VMEM((rows_t + 1, width), jnp.uint32),
+            pltpu.VMEM((rows_t + 8, width), jnp.uint32),
+            pltpu.VMEM((rows_t + 8, width), jnp.uint32),
+            pltpu.VMEM((rows_t + 8, width), jnp.uint32),
+            pltpu.VMEM((rows_t + 8, width), jnp.uint32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -333,6 +342,9 @@ def _merge_pass(hi2, lo2, arow, brow, a0, b0, aend, bend, *, t, width,
             jax.ShapeDtypeStruct((rows_padded, width), jnp.uint32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(arow, brow, a0, b0, aend, bend, hi2, lo2)
 
 
@@ -378,10 +390,11 @@ def sort_pairs_mergepath(
     )
     real_rows = total // width
     rows_t = tile // width
-    # window loads are (rows_t + 1) rows from arbitrary row starts up to
-    # the array end: pad once so no load is ever out of bounds.  Pad
-    # contents are never read unmasked (runs end inside the real rows).
-    padrows = jnp.full((rows_t + 1, width), SENTINEL, jnp.uint32)
+    # window loads are (rows_t + 8) rows (rows_t + 1 needed, rounded up to
+    # the sublane tiling) from arbitrary row starts up to the array end:
+    # pad once so no load is ever out of bounds.  Pad contents are never
+    # read unmasked (runs end inside the real rows).
+    padrows = jnp.full((rows_t + 8, width), SENTINEL, jnp.uint32)
     h2 = jnp.concatenate([h2.reshape(real_rows, width), padrows])
     l2 = jnp.concatenate([l2.reshape(real_rows, width), padrows])
 
