@@ -553,7 +553,11 @@ def _jump_finish(tbl: jnp.ndarray, pred: jnp.ndarray, next_state: jnp.ndarray):
     )
 
 
-def pointer_jump_bulk(next_state: jnp.ndarray) -> CompactedGraph:
+def pointer_jump_bulk(
+    next_state: jnp.ndarray,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 4,
+) -> CompactedGraph:
     """pointer_jump for HUGE graphs: identical results, lower peak memory.
 
     The fused while_loop version double-buffers three full-size loop
@@ -569,14 +573,45 @@ def pointer_jump_bulk(next_state: jnp.ndarray) -> CompactedGraph:
     once with three lanes.  Real assemblies at k=31 are overwhelmingly
     acyclic, and the rerun costs exactly one more pass over the same
     graph when they are not.
+
+    checkpoint_dir: per-extension-round frontier checkpoints (SURVEY.md
+    section 5.4): every ``checkpoint_every`` doubling rounds the [2N,
+    lanes] table lands on disk (atomic rename), fingerprinted against the
+    exact link array, so a killed chromosome-scale jump resumes at its
+    last saved round instead of round 0.  Rounds are idempotent given the
+    table (absorbed states gather rank 0 from their head), so a resumed
+    run is bit-identical to an uninterrupted one.
     """
     n2 = next_state.shape[0]
     steps = max(1, int(np.ceil(np.log2(max(n2, 2)))) + 1)
 
+    fp = None
+    if checkpoint_dir is not None:
+        from genome_assembly_tpu.utils import checkpoint as ckpt_mod
+
+        fp = ckpt_mod.jump_fingerprint(next_state)
+
     def run(lanes):
-        tbl, pred = _jump_init(next_state, lanes)
-        for _ in range(steps):
+        start = 0
+        tbl = pred = None
+        if fp is not None:
+            from genome_assembly_tpu.utils import checkpoint as ckpt_mod
+
+            saved = ckpt_mod.load_jump_frontier(checkpoint_dir, lanes, fp)
+            if saved is not None:
+                tbl_h, pred_h, start = saved
+                tbl = jnp.asarray(tbl_h)
+                pred = jnp.asarray(pred_h)
+        if tbl is None:
+            tbl, pred = _jump_init(next_state, lanes)
+        for r in range(start, steps):
             tbl, changed = _jump_round(tbl)
+            if fp is not None and (r + 1) % checkpoint_every == 0:
+                from genome_assembly_tpu.utils import checkpoint as ckpt_mod
+
+                ckpt_mod.save_jump_frontier(
+                    checkpoint_dir, tbl, pred, r + 1, lanes, fp
+                )
             if not bool(changed):
                 break
         return _jump_finish(tbl, pred, next_state)

@@ -116,8 +116,9 @@ def merge_splits(hi: jnp.ndarray, lo: jnp.ndarray, run: int, tile: int):
 def _flat_shift(x, k, width, interpret=False):
     """x viewed as a flat row-major array shifted by k flat positions:
     out[p] = x[p + k] for k >= 0, x[p - |k|] for k < 0 (wrapped tails are
-    garbage -- callers mask).  k may be a traced scalar for 0 <= k < width
-    (the alignment shift); network stages pass python ints."""
+    garbage -- callers mask).  k may be a traced scalar for 0 <= k <
+    rows*width (the alignment shift; crosses rows via a dynamic sublane
+    roll); network stages pass python ints."""
     rows = x.shape[0]
     if isinstance(k, (int, np.integer)):
         if k >= 0:
@@ -140,11 +141,15 @@ def _flat_shift(x, k, width, interpret=False):
         if k >= 0:
             return jnp.where(col < width - c, a, b)
         return jnp.where(col >= c, a, b)
-    # traced non-negative sub-row shift
-    a = _roll(x, -(k % width), 1, interpret)
+    # traced non-negative shift: sub-row part by a lane roll + row blend,
+    # whole-row part by a dynamic sublane roll
+    r = k // width
+    c = k % width
+    a = _roll(x, -c, 1, interpret)
     b = _roll(a, -1, 0, interpret)
     col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(col < width - k, a, b)
+    merged = jnp.where(col < width - c, a, b)
+    return _roll(merged, -r, 0, interpret)
 
 
 def _merge_level(hi, lo, pos, *, m, window, width, interpret=False):
@@ -253,12 +258,14 @@ def _merge_kernel(
 ):
     i = pl.program_id(0)
     rows_t = t // width
-    # DMA slice length must be a multiple of the (8, 128) sublane tiling;
-    # the window needs rows_t + 1 rows, so copy rows_t + 8 (pad rows exist
-    # past every possible start, and the extras never reach the output)
+    # DMA slice starts AND lengths must respect the (8, 128) sublane
+    # tiling: align each start down to a multiple of 8 and copy rows_t + 8
+    # rows (covers the rows_t + 1 the window needs at any misalignment;
+    # pad rows exist past every possible start, and the extras never
+    # reach the output -- the in-VMEM flat shift re-aligns)
     rows_cp = rows_t + 8
-    arow = arow_ref[i]
-    brow = brow_ref[i]
+    arow = (arow_ref[i] // 8) * 8
+    brow = (brow_ref[i] // 8) * 8
     copies = [
         pltpu.make_async_copy(
             hi_ref.at[pl.ds(arow, rows_cp)], sa_hi, sems.at[0]

@@ -1,0 +1,207 @@
+"""DCN-aware two-level record routing (SURVEY.md section 5.8, NOTES.md
+round-1 priority 4).
+
+Multi-slice TPU jobs see two very different networks: ICI within a slice
+(fast, all-to-all friendly) and DCN between slices (slow, per-message
+overhead).  A flat all_to_all over the global mesh makes every
+(device, device) pair a DCN message.  The hierarchical decomposition here
+keeps DCN traffic aggregated:
+
+  stage 1 (ICI):  within each source slice, route every record to the
+                  local device whose intra-slice index equals the record
+                  owner's intra-slice index.  After this, device (s, d)
+                  holds exactly the records of slice s destined for the
+                  d-th device of ANY slice.
+  stage 2 (DCN):  all_to_all along the slice axis only: device (s, d)
+                  sends its bucket for slice t to device (t, d).  Every
+                  record crosses DCN exactly once, in one aggregated
+                  per-(slice, slice) message per device column.
+
+Ownership is the same multiplicative hash as the flat router
+(shard_count.owner_of with n = S*D, global shard g = ds*D + dd), so the
+two-level result is bit-identical to the flat-mesh result row for row --
+the equality test the round-1 VERDICT asked for.  On a single-slice CPU
+test mesh both axes are ICI, but the code path (two bucketize+exchange
+stages over different mesh axes) is exactly what a real 2-slice job runs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from genome_assembly_tpu.ops import minimizer as minimizer_ops
+from genome_assembly_tpu.ops.count import SENTINEL
+from genome_assembly_tpu.parallel import shard_count
+
+SLICE_AXIS = "slices"
+SHARD_AXIS = "shards"  # intra-slice (ICI) axis; matches the flat router
+
+
+def _bucket_exchange(lanes, bucket, n_buckets, cap, axis_name):
+    """Sort records by bucket, pack into [n_buckets, cap] blocks, exchange
+    block j to position j along ``axis_name``.  Returns (lanes', overflow):
+    flattened received lanes (sentinel mmer marks empty slots) and the
+    count of records dropped for exceeding cap.
+
+    lanes: tuple of equal-length 1-D arrays; lanes[0] must be the mmer
+    lane (SENTINEL == invalid).
+    """
+    n = lanes[0].shape[0]
+    order = lax.sort((bucket,) + tuple(lanes), num_keys=1, is_stable=True)
+    bucket_s, lanes_s = order[0], order[1:]
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first_of = jnp.searchsorted(bucket_s, bucket_s, side="left")
+    slot = idx - first_of
+    real = bucket_s < n_buckets
+    ok = (slot < cap) & real
+    overflow = jnp.sum((slot >= cap) & real)
+
+    b_idx = jnp.where(ok, bucket_s.astype(jnp.int32), n_buckets)
+    s_idx = jnp.where(ok, slot, 0)
+
+    fills = [SENTINEL] + [jnp.zeros((), lane.dtype) for lane in lanes_s[1:]]
+
+    def scatter(vals, fill):
+        buf = jnp.full((n_buckets, cap), fill, dtype=vals.dtype)
+        return buf.at[b_idx, s_idx].set(vals, mode="drop")
+
+    def xchg(x):
+        return lax.all_to_all(
+            x, axis_name, split_axis=0, concat_axis=0, tiled=True
+        )
+
+    out = tuple(
+        xchg(scatter(vals, fill)).reshape(-1)
+        for vals, fill in zip(lanes_s, fills)
+    )
+    return out, overflow
+
+
+def _scan_route_2level(
+    codes, lengths, read_ids, stream_offset, *, k, m, parity, n_slices,
+    n_ici, cap1, cap2,
+):
+    """Per-device body: local scan -> ICI stage -> DCN stage -> count."""
+    scan = minimizer_ops.parity_scan if parity else minimizer_ops.fast_scan
+    recs = scan(codes, lengths, k=k, m=m)
+    rows, n_win = recs.mmer.shape
+    n = rows * n_win
+    mmer = jnp.where(recs.valid, recs.mmer, SENTINEL).reshape(n)
+    khi = recs.kmer_hi.reshape(n)
+    klo = recs.kmer_lo.reshape(n)
+    rid = jnp.broadcast_to(read_ids[:, None], (rows, n_win)).reshape(n)
+    stream = jnp.arange(n, dtype=jnp.uint32) + stream_offset.reshape(())
+    valid = recs.valid.reshape(n)
+
+    n_total = n_slices * n_ici
+    g = shard_count.owner_of(mmer, n_total)
+    # stage 1: bucket by the owner's intra-slice index, exchange over ICI
+    dd = jnp.where(valid, g % jnp.uint32(n_ici), jnp.uint32(n_ici))
+    lanes, ovf1 = _bucket_exchange(
+        (mmer, khi, klo, rid, stream), dd, n_ici, cap1, SHARD_AXIS
+    )
+    mmer1 = lanes[0]
+    # stage 2: bucket by the owner's slice, exchange over DCN
+    valid1 = mmer1 != SENTINEL
+    g1 = shard_count.owner_of(mmer1, n_total)
+    ds = jnp.where(
+        valid1, g1 // jnp.uint32(n_ici), jnp.uint32(n_slices)
+    )
+    lanes2, ovf2 = _bucket_exchange(lanes, ds, n_slices, cap2, SLICE_AXIS)
+    m2, hi2, lo2, rid2, st2 = lanes2
+    v2 = m2 != SENTINEL
+    out = shard_count._local_count(
+        m2, hi2, lo2, rid2, st2, v2, ovf1 + ovf2
+    )
+    # shard_map over a 2-D mesh: give every output a [1, 1, ...] leading
+    # block so out_specs can shard both axes
+    return tuple(x[None] for x in out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "m", "parity", "cutoff", "mesh", "slack"),
+)
+def sharded_count_two_level(
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    read_ids: jnp.ndarray,
+    *,
+    k: int,
+    m: int,
+    parity: bool,
+    cutoff: int,
+    mesh: Mesh,
+    slack: float = 4.0,
+) -> shard_count.ShardedCount:
+    """Distributed count+prune over a 2-D (slices, shards) mesh.
+
+    Drop-in for shard_count.sharded_count with routing split into an
+    intra-slice ICI stage and an inter-slice DCN stage.  Results are
+    bit-identical to the flat router's: global shard g = ds*n_ici + dd
+    owns the same minimizers, and the returned arrays are ordered
+    slice-major, so row g matches flat row g exactly.
+    """
+    n_slices = mesh.shape[SLICE_AXIS]
+    n_ici = mesh.shape[SHARD_AXIS]
+    n_total = n_slices * n_ici
+    batch, max_len = codes.shape
+    rows = batch // n_total
+    n_win = max_len - k + 1
+    n_local = rows * n_win
+    # stage 1 packs per-destination-column blocks out of n_local records;
+    # stage 2 packs per-slice blocks out of the <= n_ici*cap1 received
+    cap1 = int(np.ceil(n_local / n_ici * slack))
+    cap2 = int(np.ceil(n_local / n_slices * slack))
+    offsets = (
+        jnp.arange(n_total, dtype=jnp.uint32)[:, None] * jnp.uint32(n_local)
+    ).reshape(n_slices, n_ici, 1)
+
+    codes2 = codes.reshape(n_slices, n_ici, rows, max_len)
+    lengths2 = lengths.reshape(n_slices, n_ici, rows)
+    rids2 = read_ids.reshape(n_slices, n_ici, rows)
+
+    def body(codes, lengths, rids, offs):
+        return _scan_route_2level(
+            codes[0, 0], lengths[0, 0], rids[0, 0], offs[0, 0],
+            k=k, m=m, parity=parity, n_slices=n_slices, n_ici=n_ici,
+            cap1=cap1, cap2=cap2,
+        )
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(SLICE_AXIS, SHARD_AXIS),) * 4,
+        out_specs=P(SLICE_AXIS, SHARD_AXIS),
+    )
+    outs = fn(codes2, lengths2, rids2, offsets)
+    # [S, D, cap] -> [S*D, cap]: slice-major == global shard order
+    m_s, hi_s, lo_s, id_s, st_s, v_s, gs, count, overflow = (
+        x.reshape((n_total,) + x.shape[2:]) for x in outs
+    )
+    keep = gs & v_s & (count > cutoff)
+    return shard_count.ShardedCount(
+        mmer=m_s, kmer_hi=hi_s, kmer_lo=lo_s, read_id=id_s, stream_idx=st_s,
+        valid=v_s, group_start=gs, count=count, keep=keep, overflow=overflow,
+    )
+
+
+def two_level_mesh(n_slices: int) -> Mesh:
+    """(slices, shards) mesh over all devices, n_slices on the DCN axis."""
+    devs = np.array(jax.devices())
+    if len(devs) % n_slices:
+        raise ValueError(
+            f"{len(devs)} devices do not split into {n_slices} slices"
+        )
+    return Mesh(
+        devs.reshape(n_slices, -1), (SLICE_AXIS, SHARD_AXIS)
+    )

@@ -42,6 +42,73 @@ def save_counted_table(
     p.with_suffix(".meta.json").write_text(json.dumps(meta, indent=2))
 
 
+def jump_fingerprint(next_state) -> dict:
+    """Cheap content fingerprint of a link array (device-side reduction).
+
+    Frontier checkpoints are only valid for the exact graph they were
+    taken from; a full hash would need a host transfer of the (possibly
+    multi-GB) link array, so two wrapping partial sums + the length stand
+    in.  Wrap-around is deterministic; collisions would need a different
+    graph agreeing in both 16-bit half sums AND length.
+    """
+    import jax.numpy as jnp
+
+    ns = next_state.astype(jnp.int32)
+    lo = int(jnp.sum((ns & 0xFFFF).astype(jnp.uint32)))
+    hi = int(jnp.sum((ns >> 16).astype(jnp.uint32)))
+    return {"n2": int(next_state.shape[0]), "sum_lo": lo, "sum_hi": hi}
+
+
+def save_jump_frontier(
+    dirpath: str, tbl, pred, rounds_done: int, lanes: int, fingerprint: dict
+) -> None:
+    """Checkpoint a pointer-jump doubling frontier (SURVEY.md section 5.4
+    'per-extension-round' resume).  Atomic: written to a temp name and
+    renamed, so a kill mid-save leaves the previous frontier intact."""
+    import os
+
+    d = pathlib.Path(dirpath)
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f".frontier_l{lanes}.tmp.npz"
+    final = d / f"frontier_l{lanes}.npz"
+    np.savez_compressed(
+        tmp,
+        tbl=np.asarray(tbl),
+        pred=np.asarray(pred),
+        rounds_done=np.int64(rounds_done),
+    )
+    (d / f"frontier_l{lanes}.meta.json").write_text(
+        json.dumps({"format_version": FORMAT_VERSION, **fingerprint})
+    )
+    os.replace(tmp, final)
+
+
+def load_jump_frontier(dirpath: str, lanes: int, fingerprint: dict):
+    """Restore a frontier if one exists for this exact graph, else None.
+
+    Returns (tbl, pred, rounds_done) as numpy arrays.  A fingerprint
+    mismatch (different links array) is treated as no checkpoint.
+    """
+    d = pathlib.Path(dirpath)
+    final = d / f"frontier_l{lanes}.npz"
+    meta_path = d / f"frontier_l{lanes}.meta.json"
+    if not final.exists() or not meta_path.exists():
+        return None
+    meta = json.loads(meta_path.read_text())
+    if meta != {"format_version": FORMAT_VERSION, **fingerprint}:
+        return None
+    data = np.load(final)
+    return data["tbl"], data["pred"], int(data["rounds_done"])
+
+
+def clear_jump_frontier(dirpath: str, lanes: int) -> None:
+    d = pathlib.Path(dirpath)
+    for name in (f"frontier_l{lanes}.npz", f"frontier_l{lanes}.meta.json"):
+        p = d / name
+        if p.exists():
+            p.unlink()
+
+
 def load_counted_table(path: str) -> Tuple[CountedTable, PipelineConfig, str]:
     """Restore a counted table; returns (table, config, phase)."""
     p = pathlib.Path(path)

@@ -1,0 +1,196 @@
+"""Kill-and-resume fault injection (SURVEY.md section 5.3/5.4).
+
+The reference exits on any failure (zhash.c:230-249); the TPU build's
+elasticity model is idempotent re-runnable passes + fingerprinted
+checkpoints.  These tests actually interrupt work mid-flight -- an
+in-process exception mid-doubling-round for the extension frontier, and a
+SIGKILLed subprocess mid-partition for the out-of-core count -- then
+resume and assert bit-equality with uninterrupted runs.
+"""
+
+import json
+import os
+import pathlib
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from genome_assembly_tpu.ops import dbg
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _chain_links(n_nodes, rng):
+    """A plausible next_state array: disjoint chains over 2*n states."""
+    next_state = np.full(2 * n_nodes, -1, dtype=np.int32)
+    perm = rng.permutation(n_nodes)
+    # string nodes into chains of ~64 on strand 0, mirrored on strand 1
+    for i in range(len(perm) - 1):
+        if i % 64 != 63:
+            a, b = perm[i], perm[i + 1]
+            next_state[2 * a] = 2 * b
+            next_state[2 * b + 1] = 2 * a + 1
+    return next_state
+
+
+def test_jump_frontier_kill_and_resume(tmp_path, monkeypatch):
+    """Die mid-doubling-round; resume must be bit-identical."""
+    rng = np.random.default_rng(7)
+    links = _chain_links(4096, rng)
+    baseline = dbg.pointer_jump_bulk(links.copy())
+
+    class Die(RuntimeError):
+        pass
+
+    real_round = dbg._jump_round
+    calls = {"n": 0}
+
+    def dying_round(tbl):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise Die("injected failure")
+        return real_round(tbl)
+
+    ckdir = str(tmp_path / "jump")
+    monkeypatch.setattr(dbg, "_jump_round", dying_round)
+    with pytest.raises(Die):
+        dbg.pointer_jump_bulk(
+            links.copy(), checkpoint_dir=ckdir, checkpoint_every=1
+        )
+    monkeypatch.setattr(dbg, "_jump_round", real_round)
+
+    # a frontier checkpoint must exist from the killed run
+    assert (tmp_path / "jump" / "frontier_l2.npz").exists()
+
+    # resume: _jump_init must NOT run (the frontier is loaded instead)
+    real_init = dbg._jump_init
+    init_calls = {"n": 0}
+
+    def counting_init(ns, lanes=2):
+        init_calls["n"] += 1
+        return real_init(ns, lanes)
+
+    monkeypatch.setattr(dbg, "_jump_init", counting_init)
+    resumed = dbg.pointer_jump_bulk(
+        links.copy(), checkpoint_dir=ckdir, checkpoint_every=1
+    )
+    assert init_calls["n"] == 0, "resume re-initialized instead of loading"
+
+    np.testing.assert_array_equal(np.asarray(resumed.head),
+                                  np.asarray(baseline.head))
+    np.testing.assert_array_equal(np.asarray(resumed.rank),
+                                  np.asarray(baseline.rank))
+    np.testing.assert_array_equal(np.asarray(resumed.is_cycle),
+                                  np.asarray(baseline.is_cycle))
+
+
+def test_jump_frontier_fingerprint_mismatch(tmp_path):
+    """A frontier from a DIFFERENT graph must be ignored, not loaded."""
+    rng = np.random.default_rng(11)
+    links_a = _chain_links(2048, rng)
+    links_b = _chain_links(2048, rng)  # different draw
+    assert not np.array_equal(links_a, links_b)
+    ckdir = str(tmp_path / "jump")
+    dbg.pointer_jump_bulk(links_a, checkpoint_dir=ckdir, checkpoint_every=1)
+    got = dbg.pointer_jump_bulk(links_b, checkpoint_dir=ckdir,
+                                checkpoint_every=1)
+    want = dbg.pointer_jump_bulk(links_b)
+    np.testing.assert_array_equal(np.asarray(got.head), np.asarray(want.head))
+    np.testing.assert_array_equal(np.asarray(got.rank), np.asarray(want.rank))
+
+
+def test_jump_frontier_with_cycles(tmp_path):
+    """The 3-lane cycle rerun checkpoints independently of the 2-lane run."""
+    n = 512
+    next_state = np.full(2 * n, -1, dtype=np.int32)
+    # one 8-cycle on strand 0 plus a chain
+    cyc = [2 * i for i in range(8)]
+    for i in range(8):
+        next_state[cyc[i]] = cyc[(i + 1) % 8]
+    for i in range(10, 60):
+        next_state[2 * i] = 2 * (i + 1)
+    baseline = dbg.pointer_jump_bulk(next_state.copy())
+    ckdir = str(tmp_path / "jump")
+    got = dbg.pointer_jump_bulk(
+        next_state.copy(), checkpoint_dir=ckdir, checkpoint_every=1
+    )
+    assert (tmp_path / "jump" / "frontier_l3.npz").exists()
+    np.testing.assert_array_equal(np.asarray(got.head),
+                                  np.asarray(baseline.head))
+    np.testing.assert_array_equal(np.asarray(got.is_cycle),
+                                  np.asarray(baseline.is_cycle))
+    # resuming from the completed frontiers is also exact
+    again = dbg.pointer_jump_bulk(
+        next_state.copy(), checkpoint_dir=ckdir, checkpoint_every=1
+    )
+    np.testing.assert_array_equal(np.asarray(again.head),
+                                  np.asarray(baseline.head))
+
+
+def _events(stdout):
+    events = {}
+    for line in stdout.splitlines():
+        try:
+            e = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        events[e["event"]] = e
+    return events
+
+
+@pytest.mark.slow
+def test_scale_runner_sigkill_and_resume(tmp_path):
+    """SIGKILL an out-of-core count mid-partition; the resumed run must
+    produce the exact counts of an uninterrupted run."""
+    ckdir = tmp_path / "ck"
+    cmd = [
+        sys.executable, str(REPO / "tools/run_scale.py"), "--preset", "small",
+        "--cpu", "--partitions", "4", "--count-only",
+        "--checkpoint-dir", str(ckdir),
+    ]
+    env = dict(os.environ)
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env
+    )
+    # kill as soon as the first partition checkpoint lands (mid-pass:
+    # partitions 1..3 still unwritten)
+    deadline = time.time() + 300
+    part0 = ckdir / "part_0.npz"
+    try:
+        while time.time() < deadline:
+            if part0.exists():
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "runner exited before first checkpoint: "
+                    + proc.stdout.read().decode()[-2000:]
+                )
+            time.sleep(0.2)
+        else:
+            raise AssertionError("no checkpoint appeared within 300 s")
+        proc.send_signal(signal.SIGKILL)
+    finally:
+        proc.wait()
+        proc.stdout.close()
+    assert part0.exists()
+    done_before = {p.name for p in ckdir.glob("part_*.npz")}
+    assert len(done_before) < 4, "kill landed after all partitions finished"
+
+    resumed = subprocess.run(
+        cmd, capture_output=True, timeout=600, text=True
+    )
+    assert resumed.returncode == 0, resumed.stdout[-2000:] + resumed.stderr[-2000:]
+    fresh = subprocess.run(
+        [c for c in cmd if c != "--checkpoint-dir" and c != str(ckdir)],
+        capture_output=True, timeout=600, text=True,
+    )
+    assert fresh.returncode == 0, fresh.stdout[-2000:] + fresh.stderr[-2000:]
+
+    ev_r = _events(resumed.stdout)["scan_and_count"]
+    ev_f = _events(fresh.stdout)["scan_and_count"]
+    assert ev_r["distinct"] == ev_f["distinct"]
+    assert ev_r["kept"] == ev_f["kept"]

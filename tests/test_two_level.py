@@ -1,0 +1,85 @@
+"""Two-level (ICI + DCN) routed counting vs the flat router (VERDICT #10).
+
+Runs on the 8-device virtual CPU mesh reshaped 2x4 and 4x2: the mesh axes
+exercise exactly the two bucketize+exchange stages a real multi-slice job
+runs; equality against the flat 1-D router (same ownership hash) is the
+correctness contract.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from genome_assembly_tpu.io import datagen, reads as reads_io
+from genome_assembly_tpu.parallel import shard_count, two_level
+
+
+def _batch(n_reads=64, read_len=40, max_len=48, seed=2):
+    _, reads, _ = datagen.generate_coverage_reads(
+        genome_len=600, read_len=read_len, coverage=6, seed=seed,
+        with_reverse=True,
+    )
+    reads = (reads * ((n_reads // len(reads)) + 1))[:n_reads]
+    (b,) = reads_io.batch_reads(reads, max_len)
+    b = reads_io.pad_batch(b, n_reads)
+    return (
+        jnp.asarray(b.codes),
+        jnp.asarray(b.lengths),
+        jnp.asarray(b.read_ids),
+    )
+
+
+@pytest.mark.parametrize("n_slices", [2, 4])
+@pytest.mark.parametrize("parity", [False, True])
+def test_two_level_equals_flat(n_slices, parity):
+    assert jax.device_count() == 8
+    codes, lengths, rids = _batch()
+    k, m = 11, 5
+    flat_mesh = Mesh(np.array(jax.devices()), (shard_count.SHARD_AXIS,))
+    flat = shard_count.sharded_count(
+        codes, lengths, rids, k=k, m=m, parity=parity, cutoff=1,
+        mesh=flat_mesh,
+    )
+    mesh2 = two_level.two_level_mesh(n_slices)
+    got = two_level.sharded_count_two_level(
+        codes, lengths, rids, k=k, m=m, parity=parity, cutoff=1, mesh=mesh2,
+    )
+    assert int(np.sum(np.asarray(flat.overflow))) == 0
+    assert int(np.sum(np.asarray(got.overflow))) == 0
+
+    # same totals ...
+    assert int(jnp.sum(got.valid)) == int(jnp.sum(flat.valid))
+    assert int(jnp.sum(got.keep)) == int(jnp.sum(flat.keep))
+    # ... same per-row ownership (global shard g = ds*n_ici + dd) ...
+    np.testing.assert_array_equal(
+        np.asarray(jnp.sum(got.valid, axis=1)),
+        np.asarray(jnp.sum(flat.valid, axis=1)),
+    )
+    # ... and the same pruned table, entry for entry
+    assert shard_count.sharded_to_host_dict(
+        got, k, m
+    ) == shard_count.sharded_to_host_dict(flat, k, m)
+
+
+def test_two_level_replay_groups_equal_flat():
+    """Parity replay input (insertion-ordered groups) is identical, so the
+    downstream bit-exact extension replay sees no difference at all."""
+    assert jax.device_count() == 8
+    codes, lengths, rids = _batch(seed=5)
+    k, m = 7, 3
+    flat_mesh = Mesh(np.array(jax.devices()), (shard_count.SHARD_AXIS,))
+    flat = shard_count.sharded_count(
+        codes, lengths, rids, k=k, m=m, parity=True, cutoff=-1,
+        mesh=flat_mesh,
+    )
+    got = two_level.sharded_count_two_level(
+        codes, lengths, rids, k=k, m=m, parity=True, cutoff=-1,
+        mesh=two_level.two_level_mesh(2),
+    )
+    a = shard_count.sharded_groups_for_replay(flat)
+    b = shard_count.sharded_groups_for_replay(got)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

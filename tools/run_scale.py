@@ -312,7 +312,14 @@ def main() -> int:
             del khi, klo
             valid_dev = valid
             del valid
-            graph = dbg.pointer_jump_bulk(links)
+            graph = dbg.pointer_jump_bulk(
+                links,
+                checkpoint_dir=(
+                    str(pathlib.Path(args.checkpoint_dir) / "jump")
+                    if args.checkpoint_dir
+                    else None
+                ),
+            )
             lin_heads, n_cyc_states, max_rank = graph_stats(
                 graph.head, graph.rank, graph.is_cycle, valid_dev
             )
