@@ -1,9 +1,18 @@
 """Merge-path sort: XLA row sorts + one-HBM-pass-per-level Pallas merges.
 
-Why another sort backend (measured, NOTES.md + tools/bench_sort3.py):
-``lax.sort`` of two-lane records runs near machine limits at ~2M elements
-(540M elem/s) but degrades superlinearly (304M at 12.6M, ~70M at 231M) --
-and chromosome-scale counts sort hundreds of millions of records.  Round
+MEASURED RESULT (tools/bench_mpath.py, v5-lite): correct everywhere but
+SLOWER than lax.sort at every size -- 35.0 vs 22.6 ms at 8.4M, 424 vs
+268 ms at 67M.  The level passes are VPU-bound, not HBM-bound: a Batcher
+merge level is log2(window) compare-exchange stages and each stage's
+flat shift costs 2-3 cross-lane ``pltpu.roll``s.  Kept as an optional
+backend and a documented negative result (the third: see
+ops/bitonic_pallas.py and NOTES.md's count-roofline section for why XLA's
+sort is the practical ceiling on this hardware).
+
+Why the backend was built (measured, NOTES.md): ``lax.sort`` of two-lane
+records runs near machine limits at ~2M elements (540M elem/s) but
+degrades superlinearly (304M at 12.6M; 250M at 67M re-measured) -- and
+chromosome-scale counts sort hundreds of millions of records.  Round
 1's bitonic hybrids LOST because their cross-chunk stages cost one HBM
 round trip per network STAGE (log^2 passes).  Here every merge LEVEL is a
 single HBM pass:
