@@ -700,37 +700,88 @@ def _materialize(
     state_val[1::2] = rc_val(value)
     node_valid = np.repeat(valid, 2)
 
-    # --- cycles: re-rank around each cycle with short host walks (rare) ---
+    # --- cycles: vectorized, like the linear chains below.  Ranks around
+    # each cycle come from host pointer doubling (the jump zeroes cycle
+    # ranks for cross-implementation determinism, dbg.pointer_jump), then
+    # the same flat-buffer assembly spells every traversal at once.  Twin
+    # traversals (forward and reverse-complement strands of one unitig
+    # cycle) are deduped by their minimum member NODE id -- a traversal
+    # invariant, since edge u->v implies rc edge v^1->u^1, so both strand
+    # cycles visit exactly the twin state set.  This replaces the old
+    # one-state-at-a-time walk + O(L^2) rotation canonicalization, which
+    # degenerated on repeat-dense genomes where cycles are long/common.
     cyc_states = np.flatnonzero(is_cycle & node_valid)
     cycle_strings: List[str] = []
     cycle_sums: List[int] = []
     cycle_lens: List[int] = []
     if cyc_states.size:
-        seen_cycle_canon = set()
-        for h in np.unique(head[cyc_states]):
-            seq = [int(h)]
-            cur = int(next_state[h])
-            while cur != h and cur != -1:
-                seq.append(cur)
-                cur = int(next_state[cur])
-            chars = [_decode_val(int(state_val[seq[0]]), k)]
-            chars.extend(
-                "TGCA"[int(state_val[s] & np.uint64(3))] for s in seq[1:]
+        m = cyc_states.size
+        comp = np.full(2 * n, -1, dtype=np.int64)
+        comp[cyc_states] = np.arange(m, dtype=np.int64)
+        nxt_c = comp[next_state[cyc_states]]
+        # in/out-degree <= 1 (unitig edge rule): cycle states form pure
+        # permutation cycles, never rho shapes
+        assert (nxt_c >= 0).all(), "cycle state links outside the cycle set"
+        head_c = head[cyc_states].astype(np.int64)
+        is_head = cyc_states == head_c
+        pred_c = np.empty(m, dtype=np.int64)
+        pred_c[nxt_c] = np.arange(m, dtype=np.int64)
+        # head-absorbing predecessor doubling: rank[s] = distance from the
+        # cycle's head (min state id) to s along next_state
+        parent = np.where(is_head, np.arange(m, dtype=np.int64), pred_c)
+        crank = (~is_head).astype(np.int64)
+        while True:
+            crank = crank + crank[parent]
+            new_parent = parent[parent]
+            if np.array_equal(new_parent, parent):
+                break
+            parent = new_parent
+
+        order_c = np.lexsort((crank, head_c))
+        s_c = cyc_states[order_c]  # global state ids in walk order
+        h_c = head_c[order_c]
+        r_c = crank[order_c]
+        start_mask = np.empty(m, dtype=bool)
+        start_mask[0] = True
+        start_mask[1:] = h_c[1:] != h_c[:-1]
+        startsc = np.flatnonzero(start_mask)
+        lens_c = np.diff(np.append(startsc, m))
+        # one traversal per unitig cycle: first chain (ascending head
+        # order == the one the old ascending-head walk emitted) per
+        # min-member-node key
+        min_node = np.minimum.reduceat(s_c >> 1, startsc)
+        _, first_idx = np.unique(min_node, return_index=True)
+        keep_idx = np.sort(first_idx)
+        k_lens = lens_c[keep_idx]
+        out_lens_c = k_lens + (k - 1)
+        off_c = np.zeros(len(keep_idx) + 1, dtype=np.int64)
+        np.cumsum(out_lens_c, out=off_c[1:])
+        buf_c = np.empty(off_c[-1], dtype=np.uint8)
+        first_vals = state_val[s_c[startsc[keep_idx]]]
+        for j in range(k):
+            shift = np.uint64(2 * (k - 1 - j))
+            buf_c[off_c[:-1] + j] = _CODE_CHARS[
+                ((first_vals >> shift) & np.uint64(3)).astype(np.int64)
+            ]
+        chain_id_c = np.cumsum(start_mask) - 1
+        kept_pos = np.full(len(startsc), -1, dtype=np.int64)
+        kept_pos[keep_idx] = np.arange(len(keep_idx))
+        sel = (kept_pos[chain_id_c] >= 0) & ~start_mask
+        pos_c = off_c[kept_pos[chain_id_c[sel]]] + (k - 1) + r_c[sel]
+        buf_c[pos_c] = _CODE_CHARS[
+            (state_val[s_c[sel]] & np.uint64(3)).astype(np.int64)
+        ]
+        all_bytes_c = buf_c.tobytes()
+        cycle_strings = [
+            all_bytes_c[off_c[i] : off_c[i + 1]].decode()
+            for i in range(len(keep_idx))
+        ]
+        if node_counts is not None:
+            sums_all = np.add.reduceat(
+                node_counts[s_c >> 1].astype(np.int64), startsc
             )
-            u = "".join(chars)
-            body = u[k - 1 :]
-            rc_body = _rc_str(u)[k - 1 :]
-            canon = min(
-                min(body[i:] + body[:i] for i in range(len(body))),
-                min(rc_body[i:] + rc_body[:i] for i in range(len(rc_body))),
-            )
-            if canon in seen_cycle_canon:
-                continue
-            seen_cycle_canon.add(canon)
-            cycle_strings.append(u)
-            if node_counts is not None:
-                cycle_sums.append(int(sum(int(node_counts[s >> 1]) for s in seq)))
-                cycle_lens.append(len(seq))
+            cycle_sums = [int(x) for x in sums_all[keep_idx]]
+            cycle_lens = [int(x) for x in k_lens]
 
     # --- linear chains: vectorized assembly ---
     lin_mask = node_valid & ~is_cycle
@@ -860,10 +911,6 @@ def unitig_member_nodes(
         else np.zeros(0, dtype=np.int64)
     )
     return offsets, rows
-
-
-def _decode_val(value: int, k: int) -> str:
-    return "".join("TGCA"[(value >> (2 * j)) & 3] for j in range(k - 1, -1, -1))
 
 
 _RC_TABLE = str.maketrans("ACGT", "TGCA")

@@ -360,3 +360,77 @@ def test_ooc_link_builder_matches_join():
         )
         assert ovf == 0, (trial, k, parts)
         assert np.array_equal(np.asarray(got), want), (trial, k, parts, chunk)
+
+
+def test_large_cycle_materializes_fast():
+    """A 20k-period circular genome is ONE cycle unitig; the vectorized
+    cycle path (pointer-doubled ranks + flat-buffer assembly + min-node
+    dedup) must spell a rotation of the genome or its rc.  The former
+    per-state walk with O(L^2) rotation canonicalization could not finish
+    this size."""
+    rng = np.random.default_rng(5)
+    period, k = 20000, 21
+    s = "".join(rng.choice(list("ACGT"), size=period))
+    circ = s + s[: k - 1]
+    kmers = genome_kmers(circ, k)
+    # all windows canonically distinct => the dBG is one simple cycle
+    assert len({canon(x) for x in kmers}) == period
+    got = run_device_compaction(kmers, k)
+    assert len(got) == 1
+    u = got[0]
+    assert len(u) == period + k - 1
+    body = u[k - 1 :]
+    assert body in (s + s) or body in (rc(s) + rc(s))
+    check_exact_coverage(got, kmers, k)
+
+
+def test_many_cycles_match_oracle():
+    """Dozens of disjoint circular sequences: the vectorized multi-cycle
+    assembly and its twin-traversal dedup must agree with the brute-force
+    oracle (including any accidental linear fragments from canonical
+    collisions between cycles)."""
+    rng = np.random.default_rng(11)
+    k = 11
+    kmers = []
+    for i in range(25):
+        period = 30 + i
+        s = "".join(rng.choice(list("ACGT"), size=period))
+        kmers.extend(genome_kmers(s + s[: k - 1], k))
+    want_linear, want_cycles = brute_force_unitigs(kmers, k)
+    got = run_device_compaction(kmers, k)
+    got_linear, got_cycles = split_device_output(got, k, want_cycles)
+    assert got_linear == want_linear
+    assert got_cycles == want_cycles
+    check_exact_coverage(got, kmers, k)
+
+
+def test_cycle_coverage_sums():
+    """materialize_unitigs_cov over a pure cycle: occ_sum is the sum of
+    member-node counts and n_kmers the cycle length."""
+    rng = np.random.default_rng(13)
+    period, k = 500, 15
+    s = "".join(rng.choice(list("ACGT"), size=period))
+    kmers = genome_kmers(s + s[: k - 1], k)
+    assert len({canon(x) for x in kmers}) == period
+    keys = sorted({encode.pack_str(canon(x)) for x in kmers})
+    pad = max(8, 1 << int(np.ceil(np.log2(len(keys)))))
+    n_lo = min(k, 16)
+    hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros(pad, dtype=bool)
+    for i, v in enumerate(keys):
+        hi[i] = v >> (2 * n_lo)
+        lo[i] = v & ((1 << (2 * n_lo)) - 1)
+        valid[i] = True
+    links = dbg.build_unitig_links(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid), k=k
+    )
+    graph = dbg.pointer_jump(links)
+    counts = np.zeros(pad, dtype=np.uint32)
+    counts[: len(keys)] = 3
+    unitigs, occ_sum, n_kmers = dbg.materialize_unitigs_cov(
+        hi, lo, valid, graph, k, counts
+    )
+    assert len(unitigs) == 1
+    assert int(n_kmers[0]) == period
+    assert int(occ_sum[0]) == 3 * period
