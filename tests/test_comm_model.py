@@ -1,0 +1,91 @@
+"""Comm counters match the traffic the real collectives carry.
+
+The exchange matrices are computed OUTSIDE the shard_map hot path with
+the same ownership hashes the routers import; these tests pin that the
+model's numbers equal what sharded_count / the link join actually route
+on the 8-device mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from genome_assembly_tpu.ops import count as count_ops
+from genome_assembly_tpu.ops import minimizer
+from genome_assembly_tpu.parallel import comm_model, mesh as mesh_lib
+from genome_assembly_tpu.parallel import shard_count
+
+
+K, M = 21, 5
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(42)
+    reads = 256
+    codes = rng.integers(0, 4, size=(reads, 64), dtype=np.uint8)
+    lengths = np.full((reads,), 64, dtype=np.int32)
+    return codes, lengths
+
+
+def test_count_matrix_matches_sharded_count(batch):
+    """Column sums of the model's matrix == records each shard actually
+    received (sharded_count's per-shard valid rows)."""
+    codes, lengths = batch
+    n = 8
+    assert jax.device_count() == n
+    mat = comm_model.count_exchange_matrix(
+        codes, lengths, k=K, m=M, n_shards=n
+    )
+    mesh = mesh_lib.make_mesh(n)
+    sc = shard_count.sharded_count(
+        jnp.asarray(codes), jnp.asarray(lengths),
+        jnp.arange(codes.shape[0], dtype=jnp.uint32),
+        k=K, m=M, parity=False, cutoff=1, mesh=mesh,
+    )
+    assert int(np.asarray(sc.overflow).sum()) == 0
+    received = np.asarray(sc.valid).reshape(n, -1).sum(axis=1)
+    assert np.array_equal(mat.sum(axis=0), received)
+    # row sums: every shard's valid scan records all get routed somewhere
+    recs = minimizer.fast_scan(jnp.asarray(codes), jnp.asarray(lengths),
+                               k=K, m=M)
+    per_shard_valid = np.asarray(recs.valid).reshape(n, -1).sum(axis=1)
+    assert np.array_equal(mat.sum(axis=1), per_shard_valid)
+
+
+def test_links_matrix_row_sums(batch):
+    """Every valid node emits exactly 4 boundary records from its home
+    shard; totals and row sums must say so."""
+    codes, lengths = batch
+    recs = minimizer.fast_scan(jnp.asarray(codes), jnp.asarray(lengths),
+                               k=K, m=M)
+    kc = count_ops.count_keys(recs, cutoff=0)
+    khi, klo, valid = count_ops.kept_keys_sorted(kc)
+    n = 8
+    mat = comm_model.links_exchange_matrix(khi, klo, valid, k=K, n_shards=n)
+    valid_np = np.asarray(valid)
+    rows = valid_np.shape[0] // n
+    per_shard_nodes = valid_np.reshape(n, rows).sum(axis=1)
+    assert np.array_equal(mat.sum(axis=1), 4 * per_shard_nodes)
+    assert mat.sum() == 4 * valid_np.sum()
+
+
+def test_phase_model_bounds():
+    n = 8
+    rng = np.random.default_rng(0)
+    mat = rng.integers(100, 1000, size=(n, n)).astype(np.int64)
+    out = comm_model.phase_model(
+        mat, bytes_per_record=20, records_per_s=5e8
+    )
+    assert 0 < out["eff_serial"] <= out["eff_overlap"] <= 1.0 + 1e-9
+    assert out["records_total"] == int(mat.sum())
+    assert 0.0 <= out["offchip_fraction"] <= 1.0
+    # single shard: no communication, perfect efficiency
+    solo = comm_model.phase_model(
+        mat[:1, :1], bytes_per_record=20, records_per_s=5e8
+    )
+    assert solo["t_comm_s"] == 0.0
+    assert solo["eff_overlap"] == pytest.approx(1.0)
+    assert solo["eff_serial"] == pytest.approx(1.0)

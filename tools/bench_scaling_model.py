@@ -1,0 +1,140 @@
+"""Scaling-efficiency model: exact wire traffic + ICI roofline prediction.
+
+Virtual-device timing is meaningless (shared host cores), so this harness
+records what a real-slice run needs to validate the >=80% scaling target
+quickly: per-phase exchange matrices (exact -- the routers are
+deterministic), off-chip byte volumes and skew, and the predicted
+efficiency band under the v5e/v5p ICI rooflines.  On a real slice, rerun
+with --time to compare measured walls against the same model.
+
+  python tools/bench_scaling_model.py --reads 8192 --k 31 --m 7
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--reads", type=int, default=8192)
+    ap.add_argument("--read-len", type=int, default=128)
+    ap.add_argument("--k", type=int, default=31)
+    ap.add_argument("--m", type=int, default=7)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--shards", type=int, nargs="+",
+                    default=[8, 16, 64, 256])
+    ap.add_argument("--parity", action="store_true",
+                    help="model the 5-lane parity routing payload")
+    ap.add_argument("--v5p", action="store_true",
+                    help="use v5p ICI (6 links x 90 GB/s) and 2.8x chip rates")
+    ap.add_argument("--time", action="store_true",
+                    help="also time sharded_count on the available mesh "
+                    "(only meaningful on a real multi-chip slice)")
+    args = ap.parse_args()
+
+    import jax
+
+    # the model itself is backend-independent; run it on CPU so it never
+    # queues behind TPU work (sitecustomize force-registers the relay)
+    if not args.time:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import count as count_ops
+    from genome_assembly_tpu.ops import minimizer
+    from genome_assembly_tpu.parallel import comm_model
+
+    hw = comm_model.Hardware()
+    if args.v5p:
+        hw = comm_model.Hardware(
+            ici_links=6, ici_gbps_per_link=90e9,
+            count_records_per_s=hw.count_records_per_s * 2.8,
+            link_records_per_s=hw.link_records_per_s * 2.8,
+        )
+
+    rng = np.random.default_rng(args.seed)
+    codes = rng.integers(
+        0, 4, size=(args.reads, args.read_len), dtype=np.uint8
+    )
+    lengths = np.full((args.reads,), args.read_len, dtype=np.int32)
+
+    # kept keys for the link-join phase (single-device reference count)
+    recs = minimizer.fast_scan(
+        jnp.asarray(codes), jnp.asarray(lengths), k=args.k, m=args.m
+    )
+    kc = count_ops.count_keys(recs, cutoff=0)
+    khi, klo, valid = count_ops.kept_keys_sorted(kc)
+    khi, klo, valid = np.asarray(khi), np.asarray(klo), np.asarray(valid)
+
+    # routed payload widths (uint32 lanes on the wire)
+    count_lanes = 5  # mmer, hi, lo, rid, stream (both modes route these)
+    link_lanes = 3  # key_hi, key_lo, payload
+
+    for n in args.shards:
+        if args.reads % n or khi.shape[0] % n:
+            print(json.dumps({"shards": n, "skipped": "indivisible"}))
+            continue
+        cmat = comm_model.count_exchange_matrix(
+            codes, lengths, k=args.k, m=args.m, n_shards=n,
+            parity=args.parity,
+        )
+        lmat = comm_model.links_exchange_matrix(
+            khi, klo, valid, k=args.k, n_shards=n
+        )
+        count_phase = comm_model.phase_model(
+            cmat, bytes_per_record=4 * count_lanes,
+            records_per_s=hw.count_records_per_s, hw=hw,
+        )
+        link_phase = comm_model.phase_model(
+            lmat, bytes_per_record=4 * link_lanes,
+            records_per_s=hw.link_records_per_s, hw=hw,
+        )
+        print(json.dumps({
+            "shards": n,
+            "count": {k2: round(v, 6) if isinstance(v, float) else v
+                      for k2, v in count_phase.items() if k2 != "shards"},
+            "links": {k2: round(v, 6) if isinstance(v, float) else v
+                      for k2, v in link_phase.items() if k2 != "shards"},
+        }), flush=True)
+
+    if args.time:
+        import time
+
+        from genome_assembly_tpu.parallel import mesh as mesh_lib
+        from genome_assembly_tpu.parallel import shard_count
+
+        n = min(max(args.shards), jax.device_count())
+        mesh = mesh_lib.make_mesh(n)
+        codes_j = jnp.asarray(codes)
+        lengths_j = jnp.asarray(lengths)
+        rids = jnp.arange(args.reads, dtype=jnp.uint32)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sc = shard_count.sharded_count(
+                codes_j, lengths_j, rids, k=args.k, m=args.m,
+                parity=args.parity, cutoff=1, mesh=mesh,
+            )
+            float(jnp.sum(sc.keep))  # hard sync
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(json.dumps({
+            "timed_shards": n,
+            "platform": jax.devices()[0].platform,
+            "wall_s": round(best, 4),
+            "note": "compare against count.t_compute_s + t_comm_s above "
+                    "on a real slice",
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
