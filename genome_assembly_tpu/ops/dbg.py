@@ -541,8 +541,43 @@ def _jump_round(tbl: jnp.ndarray):
     return new, jnp.any(new[:, 0] != parent)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("n_chunks",), donate_argnums=(1,))
+def _jump_round_lowmem(tbl: jnp.ndarray, out: jnp.ndarray, *, n_chunks: int):
+    """One doubling round at minimum live memory: OLD table + NEW table.
+
+    ``_jump_round``'s whole-array gather materializes a full-size
+    temporary next to the (aliased) carry -- measured 4.8 GB live at 200M
+    states (AOT memory_analysis), on top of ~3 GB of pipeline residency.
+    Doubling cannot be done in place (late chunks gather rows early
+    chunks would have overwritten), so the floor is two tables; this
+    kernel reaches it by processing the output in ``n_chunks`` slices
+    inside one fori_loop -- gather temporaries are chunk-sized.  ``out``
+    is donated; callers ping-pong two buffers across rounds.
+    """
+    rows = tbl.shape[0] // n_chunks
+    lanes = tbl.shape[1]
+
+    def body(c, carry):
+        out, changed = carry
+        sl = lax.dynamic_slice_in_dim(tbl, c * rows, rows)
+        parent = sl[:, 0]
+        g = tbl[parent]
+        cols = [g[:, 0], sl[:, 1] + g[:, 1]]
+        if lanes == 3:
+            cols.append(jnp.minimum(sl[:, 2], g[:, 2]))
+        new = jnp.stack(cols, axis=1)
+        changed = changed | jnp.any(new[:, 0] != parent)
+        out = lax.dynamic_update_slice(out, new, (c * rows, 0))
+        return out, changed
+
+    return lax.fori_loop(0, n_chunks, body, (out, jnp.bool_(False)))
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
 def _jump_finish(tbl: jnp.ndarray, pred: jnp.ndarray, next_state: jnp.ndarray):
+    # pred is donated (it aliases one int32[n2] output); tbl is not -- a
+    # [n2, 2] buffer can alias none of the 1-D outputs, and XLA would
+    # just warn "donated buffer not usable"
     parent = tbl[:, 0]
     is_cycle = pred[parent] >= 0
     min_lane = tbl[:, 2] if tbl.shape[1] == 3 else parent
@@ -557,15 +592,27 @@ def pointer_jump_bulk(
     next_state: jnp.ndarray,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 4,
+    lowmem_chunks: int | None = None,
+    on_round=None,
 ) -> CompactedGraph:
     """pointer_jump for HUGE graphs: identical results, lower peak memory.
 
     The fused while_loop version double-buffers three full-size loop
     carries plus the gather table -- too much at chromosome scale (268M
     states OOM'd a 16 GB chip).  Here each doubling round is its own jitted
-    call over ONE donated [2N, lanes] table, so XLA can alias the carry in
-    place; early exit reads one scalar per round (a hard sync on the relay,
-    ~28 round trips at most -- negligible against the gathers it gates).
+    call, and early exit reads one scalar per round (a hard sync on the
+    relay, ~28 round trips at most -- negligible against the gathers it
+    gates).
+
+    lowmem_chunks > 0 (auto above 2^27 states) switches rounds to
+    ``_jump_round_lowmem``: two ping-ponged [n2, lanes] tables and
+    chunk-sized gather temporaries -- the in-place floor for doubling
+    (late chunks must gather rows early chunks would have overwritten).
+    The whole-array ``_jump_round`` measured 4.8 GB live at 200M states
+    next to ~3 GB pipeline residency, which left a 16 GB chip no
+    headroom; the chunked form holds ~3.3 GB flat.  States are padded to
+    a chunk multiple with self-absorbed isolates (invisible to results
+    and to early exit; outputs are sliced back).
 
     The common acyclic case runs with TWO lanes (parent, rank); the cycle
     representative (min state id on the cycle) needs a min lane carried
@@ -580,16 +627,48 @@ def pointer_jump_bulk(
     exact link array, so a killed chromosome-scale jump resumes at its
     last saved round instead of round 0.  Rounds are idempotent given the
     table (absorbed states gather rank 0 from their head), so a resumed
-    run is bit-identical to an uninterrupted one.
+    run is bit-identical to an uninterrupted one.  Frontiers are stored
+    unpadded, so checkpoints are portable across lowmem_chunks settings.
+
+    on_round: optional callback ``(round_index, wall_seconds)`` fired
+    after each doubling round (scale runs log per-round progress).
     """
+    import time as _time
+
     n2 = next_state.shape[0]
     steps = max(1, int(np.ceil(np.log2(max(n2, 2)))) + 1)
+    if lowmem_chunks is None:
+        lowmem_chunks = 8 if n2 > (1 << 27) else 0
 
     fp = None
     if checkpoint_dir is not None:
         from genome_assembly_tpu.utils import checkpoint as ckpt_mod
 
         fp = ckpt_mod.jump_fingerprint(next_state)
+
+    n2p = n2
+    ns_run = next_state
+    if lowmem_chunks:
+        n2p = int(np.ceil(n2 / lowmem_chunks)) * lowmem_chunks
+        if n2p != n2:
+            ns_run = jnp.concatenate(
+                [next_state, jnp.full((n2p - n2,), -1, jnp.int32)]
+            )
+
+    def pad_frontier(a):
+        """Pad a host frontier array to n2p with self-absorbed rows."""
+        a = np.asarray(a)
+        if a.shape[0] == n2p:
+            return jnp.asarray(a)
+        pad_ids = np.arange(a.shape[0], n2p, dtype=np.int32)
+        if a.ndim == 2:
+            cols = [pad_ids, np.zeros_like(pad_ids)]
+            if a.shape[1] == 3:
+                cols.append(pad_ids)
+            pad = np.stack(cols, axis=1)
+        else:  # pred: pad rows have no predecessor
+            pad = np.full(n2p - a.shape[0], -1, np.int32)
+        return jnp.concatenate([jnp.asarray(a), jnp.asarray(pad)])
 
     def run(lanes):
         start = 0
@@ -600,21 +679,48 @@ def pointer_jump_bulk(
             saved = ckpt_mod.load_jump_frontier(checkpoint_dir, lanes, fp)
             if saved is not None:
                 tbl_h, pred_h, start = saved
-                tbl = jnp.asarray(tbl_h)
-                pred = jnp.asarray(pred_h)
+                tbl = pad_frontier(tbl_h)
+                pred = pad_frontier(pred_h)
         if tbl is None:
-            tbl, pred = _jump_init(next_state, lanes)
+            tbl, pred = _jump_init(ns_run, lanes)
+        out = jnp.zeros_like(tbl) if lowmem_chunks else None
         for r in range(start, steps):
-            tbl, changed = _jump_round(tbl)
-            if fp is not None and (r + 1) % checkpoint_every == 0:
+            t0 = _time.perf_counter()
+            if lowmem_chunks:
+                new_tbl, changed = _jump_round_lowmem(
+                    tbl, out, n_chunks=lowmem_chunks
+                )
+                tbl, out = new_tbl, tbl
+            else:
+                tbl, changed = _jump_round(tbl)
+            done = not bool(changed)  # scalar readback = hard sync
+            if on_round is not None:
+                on_round(r, _time.perf_counter() - t0)
+            if fp is not None and not done and (r + 1) % checkpoint_every == 0:
                 from genome_assembly_tpu.utils import checkpoint as ckpt_mod
 
                 ckpt_mod.save_jump_frontier(
-                    checkpoint_dir, tbl, pred, r + 1, lanes, fp
+                    checkpoint_dir,
+                    np.asarray(tbl)[:n2],
+                    np.asarray(pred)[:n2],
+                    r + 1,
+                    lanes,
+                    fp,
                 )
-            if not bool(changed):
+            if done:
                 break
-        return _jump_finish(tbl, pred, next_state)
+        del out
+        graph = _jump_finish(tbl, pred, ns_run)
+        if n2p != n2:
+            graph = CompactedGraph(
+                next_state=next_state,
+                head=graph.head[:n2],
+                rank=graph.rank[:n2],
+                is_cycle=graph.is_cycle[:n2],
+            )
+        elif lowmem_chunks:
+            graph = graph._replace(next_state=next_state)
+        return graph
 
     graph = run(2)
     if bool(jnp.any(graph.is_cycle)):

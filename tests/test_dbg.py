@@ -301,6 +301,13 @@ def test_pointer_jump_bulk_matches_fused():
         assert np.array_equal(np.asarray(a.head), np.asarray(b.head))
         assert np.array_equal(np.asarray(a.rank), np.asarray(b.rank))
         assert np.array_equal(np.asarray(a.is_cycle), np.asarray(b.is_cycle))
+        # low-memory chunked rounds (with a non-dividing chunk count, so
+        # self-absorbed padding is exercised and sliced back out)
+        c = dbg.pointer_jump_bulk(links, lowmem_chunks=3)
+        assert np.array_equal(np.asarray(a.head), np.asarray(c.head))
+        assert np.array_equal(np.asarray(a.rank), np.asarray(c.rank))
+        assert np.array_equal(np.asarray(a.is_cycle), np.asarray(c.is_cycle))
+        assert c.head.shape == a.head.shape
 
     # explicit cycle: the repeated period from test_cycle_genome
     k = 5

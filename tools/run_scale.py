@@ -85,6 +85,14 @@ def main() -> int:
         "report their count/total length (memory-heavy at chr scale)",
     )
     ap.add_argument(
+        "--jump-checkpoint-every",
+        type=int,
+        default=8,
+        help="doubling rounds between jump frontier checkpoints (each "
+        "save reads the multi-GB frontier back over the relay; 0 "
+        "disables jump checkpoints while keeping count checkpoints)",
+    )
+    ap.add_argument(
         "--checkpoint-dir",
         default="",
         help="directory for resumable out-of-core count partition "
@@ -214,6 +222,8 @@ def main() -> int:
         khi, klo, valid = pc.kmer_hi, pc.kmer_lo, pc.valid
         kept_cap = khi.shape[0]
         n_distinct, n_kept = pc.n_distinct, pc.n_kept
+        pc = None  # the NamedTuple aliases the key arrays; drop it so
+        # del khi/klo in the extension branch actually frees device HBM
         # out-of-core interleaves re-scan and count passes, so the split
         # scan/count timing of the in-core branch does not exist; emit ONE
         # combined event whose rate is end-to-end comparable across modes
@@ -259,6 +269,8 @@ def main() -> int:
             distinct=n_distinct,
             kept=n_kept,
         )
+
+    genome = None  # dead after the scan passes; frees G bytes of HBM
 
     if args.count_only:
         emit("total", wall_s=round(scan_wall + count_wall, 3),
@@ -316,8 +328,12 @@ def main() -> int:
                 links,
                 checkpoint_dir=(
                     str(pathlib.Path(args.checkpoint_dir) / "jump")
-                    if args.checkpoint_dir
+                    if args.checkpoint_dir and args.jump_checkpoint_every
                     else None
+                ),
+                checkpoint_every=max(args.jump_checkpoint_every, 1),
+                on_round=lambda r, dt: emit(
+                    "jump_round", round=r, wall_s=round(dt, 2)
                 ),
             )
             lin_heads, n_cyc_states, max_rank = graph_stats(
@@ -331,7 +347,10 @@ def main() -> int:
             )
         lin_heads = int(lin_heads)
     except Exception as exc:
-        emit("extension_failed", error=str(exc)[:200])
+        import traceback
+
+        traceback.print_exc()
+        emit("extension_failed", error=str(exc)[:2000])
         return 1
     ext_wall = time.perf_counter() - t0
     emit(
