@@ -51,6 +51,16 @@ class PipelineConfig:
     # fast mode: record bytes above which counting goes out-of-core
     # (hash-partitioned re-scan passes, ops/outofcore.py)
     outofcore_bytes: int = 3 << 30
+    # fast mode: per-partition byte budget for out-of-core link building
+    # (boundary-record join, dbg.build_unitig_links_ooc); the join sort
+    # peaks at ~3x resident, so graphs whose 4N-record set exceeds 3x
+    # this budget are built in ceil(rec_bytes / budget) partitions
+    link_budget_bytes: int = 1 << 30
+    # fast mode: state count above which pointer jumping switches to the
+    # low-memory per-round form (dbg.pointer_jump_bulk); the fused
+    # while_loop double-buffers three full carries and OOMs at
+    # chromosome scale
+    bulk_jump_states: int = 1 << 26
 
     def __post_init__(self) -> None:
         if not (1 <= self.m <= 15):

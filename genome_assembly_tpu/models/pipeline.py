@@ -34,6 +34,48 @@ class PhaseStats:
     wall_s: Dict[str, float] = dataclasses.field(default_factory=dict)
 
 
+def _extension_graph(
+    khi, klo, valid, *, k: int, link_budget: int, bulk_jump_states: int
+):
+    """Link + jump with the same beyond-HBM auto-switches the scale runner
+    uses (tools/run_scale.py): graphs whose 4N-record join sort would
+    exceed ~3x ``link_budget`` build links out-of-core
+    (dbg.build_unitig_links_ooc), and state counts above
+    ``bulk_jump_states`` jump with the low-memory per-round form.  The
+    in-core builder + fused jump OOM exactly where the out-of-core COUNT
+    path is auto-engaged, so the library must switch all three together.
+    """
+    from genome_assembly_tpu.ops import dbg
+
+    n_nodes = int(khi.shape[0])
+    rec_bytes = 4 * n_nodes * 12  # 4 boundary records/node x 3 uint32 lanes
+    if rec_bytes <= 3 * link_budget:
+        links = dbg.build_unitig_links_join(khi, klo, valid, k=k)
+    else:
+        # chunk regeneration granularity: the builder pads the key array
+        # to a chunk multiple, so cap chunks near the input size (its
+        # 2^24 default would pad small inputs by orders of magnitude)
+        chunk_nodes = min(
+            1 << 24, 1 << int(np.ceil(np.log2(max(n_nodes, 2))))
+        )
+        links, overflow = dbg.build_unitig_links_ooc(
+            khi, klo, valid, k=k,
+            partitions=int(np.ceil(rec_bytes / link_budget)),
+            chunk_nodes=chunk_nodes,
+        )
+        if int(overflow):
+            raise RuntimeError(
+                "out-of-core link building overflowed its per-chunk "
+                f"capacity slack ({int(overflow)} records); raise "
+                "link_budget_bytes or the builder's slack"
+            )
+    if 2 * n_nodes > bulk_jump_states:
+        graph = dbg.pointer_jump_bulk(links)
+    else:
+        graph = dbg.pointer_jump(links)
+    return links, graph
+
+
 class CountPipeline:
     """Device-side ingest + count + prune shared by both modes.
 
@@ -204,8 +246,12 @@ class FastAssembler:
             stats.entries_pre_prune = pc.n_distinct
             stats.entries_post_prune = pc.n_kept
             khi, klo, valid = pc.kmer_hi, pc.kmer_lo, pc.valid
-            links = dbg.build_unitig_links_join(khi, klo, valid, k=cfg.k)
-            graph = dbg.pointer_jump(links)
+            pc = None  # the NamedTuple aliases the key arrays; free it
+            links, graph = _extension_graph(
+                khi, klo, valid, k=cfg.k,
+                link_budget=cfg.link_budget_bytes,
+                bulk_jump_states=cfg.bulk_jump_states,
+            )
             out = dbg.materialize_unitigs(
                 np.asarray(khi), np.asarray(klo), np.asarray(valid), graph,
                 cfg.k,

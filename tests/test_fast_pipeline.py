@@ -101,3 +101,30 @@ def test_fast_assembler_outofcore_path_matches_incore():
     b, sb = FastAssembler(tiny).unitigs(reads)
     assert sorted(a) == sorted(b)
     assert sa.entries_post_prune == sb.entries_post_prune
+
+
+def test_fast_assembler_outofcore_extension_matches_incore():
+    """Beyond-HBM library path end to end: out-of-core counting AND
+    out-of-core link building AND the low-memory bulk jump (the in-core
+    builder + fused jump OOM at exactly the scale the out-of-core count
+    is auto-engaged for).  Unitigs must equal the in-core path's."""
+    import dataclasses
+
+    from genome_assembly_tpu.io import datagen
+
+    genome, reads, _ = datagen.generate_coverage_reads(
+        genome_len=900, read_len=48, coverage=8, seed=31, with_reverse=True
+    )
+    cfg = PipelineConfig(k=11, m=5, parity=False, max_read_len=64,
+                         batch_reads=128)
+    a, sa = FastAssembler(cfg).unitigs(reads)
+    tiny = dataclasses.replace(
+        cfg,
+        outofcore_bytes=1 << 12,  # force partitioned counting
+        link_budget_bytes=1 << 10,  # force the out-of-core link join
+        bulk_jump_states=8,  # force the low-memory bulk jump
+    )
+    b, sb = FastAssembler(tiny).unitigs(reads)
+    assert sorted(a) == sorted(b)
+    assert sa.entries_post_prune == sb.entries_post_prune
+    assert sa.entries_post_extension == sb.entries_post_extension
