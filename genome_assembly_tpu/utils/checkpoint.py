@@ -71,7 +71,10 @@ def save_jump_frontier(
     d.mkdir(parents=True, exist_ok=True)
     tmp = d / f".frontier_l{lanes}.tmp.npz"
     final = d / f"frontier_l{lanes}.npz"
-    np.savez_compressed(
+    # uncompressed: doubling frontiers are near-random int32 parent ids,
+    # so zlib bought ~34% at minutes of CPU per multi-GB save (measured on
+    # the celegans jump); disk is cheaper than that
+    np.savez(
         tmp,
         tbl=np.asarray(tbl),
         pred=np.asarray(pred),
