@@ -220,8 +220,19 @@ def sharded_count(
     but immune to per-(source,destination) skew and with wire bytes equal
     to real records.
     """
-    if routing not in ("padded", "ragged"):
+    if routing not in ("padded", "ragged", "two_level"):
         raise ValueError(f"unknown routing {routing!r}")
+    if routing == "two_level":
+        # DCN-aware hierarchical routing over a 2-D (slices, shards) mesh
+        # (parallel/two_level.py): intra-slice ICI stage, then ONE
+        # aggregated inter-slice DCN exchange.  Bit-identical results to
+        # the flat routers -- purely a wire-layout switch.
+        from genome_assembly_tpu.parallel import two_level
+
+        return two_level.sharded_count_two_level(
+            codes, lengths, read_ids, k=k, m=m, parity=parity,
+            cutoff=cutoff, mesh=mesh, slack=slack,
+        )
     n_shards = mesh.shape[SHARD_AXIS]
     batch, max_len = codes.shape
     rows = batch // n_shards

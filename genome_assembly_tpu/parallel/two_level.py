@@ -45,7 +45,7 @@ SLICE_AXIS = "slices"
 SHARD_AXIS = "shards"  # intra-slice (ICI) axis; matches the flat router
 
 
-def _bucket_exchange(lanes, bucket, n_buckets, cap, axis_name):
+def _bucket_exchange(lanes, bucket, n_buckets, cap, axis_name, fills=None):
     """Sort records by bucket, pack into [n_buckets, cap] blocks, exchange
     block j to position j along ``axis_name``.  Returns (lanes', overflow):
     flattened received lanes (sentinel mmer marks empty slots) and the
@@ -68,7 +68,8 @@ def _bucket_exchange(lanes, bucket, n_buckets, cap, axis_name):
     b_idx = jnp.where(ok, bucket_s.astype(jnp.int32), n_buckets)
     s_idx = jnp.where(ok, slot, 0)
 
-    fills = [SENTINEL] + [jnp.zeros((), lane.dtype) for lane in lanes_s[1:]]
+    if fills is None:
+        fills = [SENTINEL] + [jnp.zeros((), lane.dtype) for lane in lanes_s[1:]]
 
     def scatter(vals, fill):
         buf = jnp.full((n_buckets, cap), fill, dtype=vals.dtype)
@@ -106,8 +107,13 @@ def _scan_route_2level(
     g = shard_count.owner_of(mmer, n_total)
     # stage 1: bucket by the owner's intra-slice index, exchange over ICI
     dd = jnp.where(valid, g % jnp.uint32(n_ici), jnp.uint32(n_ici))
+    # fills match the flat router's scatter fills exactly (stream pads
+    # with 0xFFFFFFFF) so results are bit-identical INCLUDING dead slots
+    fills = (SENTINEL, jnp.uint32(0), jnp.uint32(0), jnp.uint32(0),
+             jnp.uint32(0xFFFFFFFF))
     lanes, ovf1 = _bucket_exchange(
-        (mmer, khi, klo, rid, stream), dd, n_ici, cap1, SHARD_AXIS
+        (mmer, khi, klo, rid, stream), dd, n_ici, cap1, SHARD_AXIS,
+        fills=fills,
     )
     mmer1 = lanes[0]
     # stage 2: bucket by the owner's slice, exchange over DCN
@@ -116,7 +122,9 @@ def _scan_route_2level(
     ds = jnp.where(
         valid1, g1 // jnp.uint32(n_ici), jnp.uint32(n_slices)
     )
-    lanes2, ovf2 = _bucket_exchange(lanes, ds, n_slices, cap2, SLICE_AXIS)
+    lanes2, ovf2 = _bucket_exchange(
+        lanes, ds, n_slices, cap2, SLICE_AXIS, fills=fills
+    )
     m2, hi2, lo2, rid2, st2 = lanes2
     v2 = m2 != SENTINEL
     out = shard_count._local_count(

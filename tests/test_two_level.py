@@ -83,3 +83,29 @@ def test_two_level_replay_groups_equal_flat():
     b = shard_count.sharded_groups_for_replay(got)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_routing_switch_dispatches_two_level():
+    """shard_count.sharded_count(routing="two_level") over a (slices,
+    shards) mesh == the flat padded router over the same devices."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.parallel import mesh as mesh_lib, shard_count
+    from genome_assembly_tpu.parallel import two_level
+
+    rng = np.random.default_rng(3)
+    codes = jnp.asarray(rng.integers(0, 4, size=(64, 48), dtype=np.uint8))
+    lengths = jnp.full((64,), 48, dtype=jnp.int32)
+    rids = jnp.arange(64, dtype=jnp.uint32)
+    kw = dict(k=11, m=5, parity=False, cutoff=1)
+    flat = shard_count.sharded_count(
+        codes, lengths, rids, mesh=mesh_lib.make_mesh(8), **kw
+    )
+    two = shard_count.sharded_count(
+        codes, lengths, rids, mesh=two_level.two_level_mesh(2),
+        routing="two_level", **kw
+    )
+    for f in shard_count.ShardedCount._fields:
+        a, b = np.asarray(getattr(flat, f)), np.asarray(getattr(two, f))
+        assert np.array_equal(a, b), f
