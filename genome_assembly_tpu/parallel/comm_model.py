@@ -126,6 +126,53 @@ def links_exchange_matrix(
     return mats
 
 
+def two_level_split(
+    matrix: np.ndarray, *, n_slices: int
+) -> dict:
+    """Split a flat exchange matrix into ICI vs DCN volumes under the
+    two-level router (parallel/two_level.py).
+
+    Devices are slice-major (global shard g = slice * n_ici + intra), as
+    the two-level mesh lays them out.  Stage 1 moves every off-device
+    record once over ICI (to the owner's intra-slice column); stage 2
+    moves records whose owner sits on another slice exactly once over
+    DCN, aggregated per (slice, slice) pair per column.  A flat
+    all_to_all would instead push ALL cross-slice records as individual
+    (device, device) DCN messages -- same bytes, n_ici^2 more messages --
+    so the interesting numbers are the DCN byte volume and the message
+    aggregation factor.
+    """
+    n = matrix.shape[0]
+    if n % n_slices:
+        raise ValueError(f"{n} devices do not split into {n_slices} slices")
+    n_ici = n // n_slices
+    src_slice = np.arange(n) // n_ici
+    cross = src_slice[:, None] != src_slice[None, :]
+    # stage 1 moves a record over ICI iff its owner's intra-slice index
+    # differs from its source device's
+    src_intra = np.arange(n) % n_ici
+    cross_intra = src_intra[:, None] != src_intra[None, :]
+    ici_records = int(matrix[cross_intra].sum())
+    dcn_records = int(matrix[cross].sum())
+    # per-source-device DCN load (stage 2 sends from the stage-1 owner
+    # column, which holds ~1/n_ici of its slice's cross-slice records)
+    slice_cross = matrix.reshape(n_slices, n_ici, n_slices, n_ici).sum(
+        axis=(1, 3)
+    )
+    np.fill_diagonal(slice_cross, 0)
+    per_device_dcn = slice_cross.sum(axis=1) / n_ici  # balanced by hash
+    return {
+        "n_slices": n_slices,
+        "n_ici": n_ici,
+        "ici_records": ici_records,
+        "dcn_records": dcn_records,
+        "dcn_fraction": dcn_records / max(int(matrix.sum()), 1),
+        "dcn_records_max_device": float(per_device_dcn.max()),
+        "dcn_messages_two_level": n_slices * (n_slices - 1) * n_ici,
+        "dcn_messages_flat": int(cross.sum()),  # one per device pair
+    }
+
+
 def phase_model(
     matrix: np.ndarray,
     *,

@@ -89,3 +89,32 @@ def test_phase_model_bounds():
     assert solo["t_comm_s"] == 0.0
     assert solo["eff_overlap"] == pytest.approx(1.0)
     assert solo["eff_serial"] == pytest.approx(1.0)
+
+
+def test_two_level_split_counts(batch):
+    """ICI/DCN split of the count matrix matches a direct recount of
+    which records cross intra-slice columns vs slices."""
+    codes, lengths = batch
+    n, n_slices = 8, 2
+    mat = comm_model.count_exchange_matrix(
+        codes, lengths, k=K, m=M, n_shards=n
+    )
+    out = comm_model.two_level_split(mat, n_slices=n_slices)
+    n_ici = n // n_slices
+    src = np.arange(n)
+    dcn = sum(
+        int(mat[i, j])
+        for i in src for j in src
+        if i // n_ici != j // n_ici
+    )
+    ici = sum(
+        int(mat[i, j])
+        for i in src for j in src
+        if i % n_ici != j % n_ici
+    )
+    assert out["dcn_records"] == dcn
+    assert out["ici_records"] == ici
+    assert out["n_ici"] == n_ici
+    # aggregation: two-level sends one DCN message per (slice pair,
+    # column); flat sends one per cross-slice device pair -- n_ici x more
+    assert out["dcn_messages_flat"] == n_ici * out["dcn_messages_two_level"]

@@ -97,13 +97,23 @@ def main() -> int:
             lmat, bytes_per_record=4 * link_lanes,
             records_per_s=hw.link_records_per_s, hw=hw,
         )
-        print(json.dumps({
+        row = {
             "shards": n,
             "count": {k2: round(v, 6) if isinstance(v, float) else v
                       for k2, v in count_phase.items() if k2 != "shards"},
             "links": {k2: round(v, 6) if isinstance(v, float) else v
                       for k2, v in link_phase.items() if k2 != "shards"},
-        }), flush=True)
+        }
+        if n >= 4 and n % 2 == 0:
+            # multi-slice view: ICI/DCN split under the two-level router
+            # (parallel/two_level.py) for a 2-slice decomposition
+            row["count_2slice"] = {
+                k2: round(v, 6) if isinstance(v, float) else v
+                for k2, v in comm_model.two_level_split(
+                    cmat, n_slices=2
+                ).items()
+            }
+        print(json.dumps(row), flush=True)
 
     if args.time:
         import time
