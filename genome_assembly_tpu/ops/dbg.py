@@ -773,6 +773,299 @@ def materialize_unitigs_cov(
     return _materialize(khi, klo, valid, graph, k, np.asarray(node_counts))
 
 
+_ASCII_TGCA = np.frombuffer(b"TGCA", dtype=np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _materialize_prep(khi, klo, valid, head, rank, is_cycle, *, k):
+    """Device side of materialize_unitigs_device.
+
+    Sorts the linear valid states into (head, rank) walk order ON DEVICE
+    and emits each state's output BYTE (its value's last base as ASCII:
+    forward states end in klo & 3, rc states in the complement of the
+    forward k-mer's first base -- complement == 3 - code in the T=0 G=1
+    C=2 A=3 encoding).  Returns (sid_s, byte_s, chain_start, n_lin,
+    n_cyc): sorted state ids, bytes, chain-start flags, the count of
+    linear valid states (the live prefix; invalid/cycle rows sort to a
+    sentinel tail), and the cycle-state count (host falls back to the
+    cycle path only when nonzero).
+    """
+    n = khi.shape[0]
+    node_valid = jnp.repeat(valid, 2)
+    lin = node_valid & ~is_cycle
+    big = jnp.int32(0x7FFFFFFF)
+    key_head = jnp.where(lin, head, big)
+    key_rank = jnp.where(lin, rank, big)
+    sid = jnp.arange(2 * n, dtype=jnp.int32)
+    h_s, _, sid_s = lax.sort((key_head, key_rank, sid), num_keys=2)
+    node = sid_s >> 1
+    strand = sid_s & 1
+    keys = jnp.stack([khi, klo], axis=1)[node]  # one row gather, not two
+    khi_g, klo_g = keys[:, 0], keys[:, 1]
+    n_lo = min(k, 16)
+    if k > n_lo:
+        first_code = (khi_g >> (2 * (k - n_lo) - 2)) & 3
+    else:
+        first_code = (klo_g >> (2 * k - 2)) & 3
+    code = jnp.where(strand == 0, klo_g & 3, 3 - first_code)
+    byte_s = jnp.asarray(_ASCII_TGCA)[code.astype(jnp.int32)]
+    prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), h_s[:-1]])
+    chain_start = (h_s != prev) & (h_s != big)
+    n_lin = jnp.sum((h_s != big).astype(jnp.int32))
+    n_cyc = jnp.sum((is_cycle & node_valid).astype(jnp.int32))
+    return sid_s, byte_s, chain_start, n_lin, n_cyc
+
+
+def materialize_unitigs_device(
+    khi,
+    klo,
+    valid,
+    graph: CompactedGraph,
+    k: int,
+    node_counts=None,
+) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """materialize_unitigs(_cov) with the heavy steps on device.
+
+    The host reference path reads the whole graph back (3.2 GB at
+    chromosome scale), runs a k-step reverse-complement loop over all 2N
+    values, and lexsorts 2N states -- 517 s at celegans scale, almost all
+    of it readback + rc + lexsort.  Here the (head, rank) walk sort and
+    per-state byte extraction run on device; the host reads back one
+    uint8 byte lane, one bool lane, and the sorted state ids, then does a
+    single vectorized placement pass.  The k-step rc loop runs only for
+    chain-head states.  Identical output to materialize_unitigs /
+    materialize_unitigs_cov (differential-tested, including cycles and
+    palindromes); cycles fall back to the shared host cycle path.
+
+    Returns (unitigs, occ_sums, n_kmers); the count arrays are empty when
+    node_counts is None.
+    """
+    khi_d = jnp.asarray(khi)
+    klo_d = jnp.asarray(klo)
+    valid_d = jnp.asarray(valid)
+    sid_s, byte_s, chain_start, n_lin, n_cyc = _materialize_prep(
+        khi_d, klo_d, valid_d, graph.head, graph.rank, graph.is_cycle, k=k
+    )
+    n_lin = int(n_lin)
+    n_cyc = int(n_cyc)
+    khi_u = np.asarray(khi, dtype=np.uint64)
+    klo_u = np.asarray(klo, dtype=np.uint64)
+
+    cycle_strings: List[str] = []
+    cycle_sums: List[int] = []
+    cycle_lens: List[int] = []
+    if n_cyc:
+        next_np = np.asarray(graph.next_state)
+        head_np = np.asarray(graph.head)
+        cyc_states = np.flatnonzero(
+            np.asarray(graph.is_cycle) & np.repeat(np.asarray(valid), 2)
+        )
+        cycle_strings, cycle_sums, cycle_lens = _materialize_cycles(
+            next_np, head_np, cyc_states,
+            _host_state_vals(khi_u, klo_u, k, cyc_states), k, node_counts,
+        )
+
+    if n_lin == 0:
+        return (
+            cycle_strings,
+            np.asarray(cycle_sums, dtype=np.int64),
+            np.asarray(cycle_lens, dtype=np.int64),
+        )
+
+    sid_np = np.asarray(sid_s)[:n_lin]
+    byte_np = np.asarray(byte_s)[:n_lin]
+    cs_np = np.asarray(chain_start)[:n_lin]
+
+    starts = np.flatnonzero(cs_np)
+    chain_lens = np.diff(np.append(starts, n_lin))
+    out_lens = chain_lens + (k - 1)
+    out_off = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=out_off[1:])
+    buf = np.empty(out_off[-1], dtype=np.uint8)
+
+    first_vals = _host_state_vals(khi_u, klo_u, k, sid_np[starts])
+    for j in range(k):
+        shift = np.uint64(2 * (k - 1 - j))
+        buf[out_off[:-1] + j] = _CODE_CHARS[
+            ((first_vals >> shift) & np.uint64(3)).astype(np.int64)
+        ]
+    # non-start states: sorted order == walk order, so each chain's body
+    # bytes are already contiguous; place them at off + k-1 + local index
+    chain_id = np.cumsum(cs_np) - 1
+    local_i = np.arange(n_lin, dtype=np.int64) - starts[chain_id]
+    ns = ~cs_np
+    buf[out_off[chain_id[ns]] + (k - 1) + local_i[ns]] = byte_np[ns]
+
+    chain_sums = None
+    if node_counts is not None:
+        node_counts = np.asarray(node_counts)
+        chain_sums = np.add.reduceat(
+            node_counts[sid_np >> 1].astype(np.int64), starts
+        )
+
+    return _canonical_chain_strings(
+        buf.tobytes(), out_off, chain_lens, chain_sums,
+        cycle_strings, cycle_sums, cycle_lens,
+    )
+
+
+def _host_state_vals(
+    khi: np.ndarray, klo: np.ndarray, k: int, sids: np.ndarray
+) -> np.ndarray:
+    """uint64 packed 2k-bit values of the given STATE ids (node = sid >> 1,
+    odd sid = reverse complement).  Vectorized over just the requested
+    states, so callers pay the k-step rc loop only for the states they
+    materialize (chain heads + cycle members), not all 2N."""
+    n_lo = min(k, 16)
+    kmask = (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
+    node = (sids >> 1).astype(np.int64)
+    v = (khi[node].astype(np.uint64) << np.uint64(2 * n_lo)) | klo[node]
+    odd = (sids & 1).astype(bool)
+    if odd.any():
+        comp = kmask - v[odd]  # complement per 2-bit group == mask - v
+        out = np.zeros_like(comp)
+        for j in range(k):
+            out = (out << np.uint64(2)) | (
+                (comp >> np.uint64(2 * j)) & np.uint64(3)
+            )
+        v = v.copy()
+        v[odd] = out
+    return v
+
+
+def _materialize_cycles(
+    next_state: np.ndarray,
+    head: np.ndarray,
+    cyc_states: np.ndarray,
+    vals_c: np.ndarray,
+    k: int,
+    node_counts,
+) -> Tuple[List[str], List[int], List[int]]:
+    """Vectorized cycle-unitig assembly (see _materialize's docstring).
+
+    Ranks around each cycle come from host pointer doubling (the jump
+    zeroes cycle ranks for cross-implementation determinism,
+    dbg.pointer_jump), then the same flat-buffer assembly as linear
+    chains spells every traversal at once.  Twin traversals (forward and
+    reverse-complement strands of one unitig cycle) are deduped by their
+    minimum member NODE id -- a traversal invariant, since edge u->v
+    implies rc edge v^1->u^1, so both strand cycles visit exactly the
+    twin state set.  vals_c: uint64 packed values aligned with
+    cyc_states.
+    """
+    m = cyc_states.size
+    n2 = next_state.shape[0]
+    comp = np.full(n2, -1, dtype=np.int64)
+    comp[cyc_states] = np.arange(m, dtype=np.int64)
+    nxt_c = comp[next_state[cyc_states]]
+    # in/out-degree <= 1 (unitig edge rule): cycle states form pure
+    # permutation cycles, never rho shapes
+    assert (nxt_c >= 0).all(), "cycle state links outside the cycle set"
+    head_c = head[cyc_states].astype(np.int64)
+    is_head = cyc_states == head_c
+    pred_c = np.empty(m, dtype=np.int64)
+    pred_c[nxt_c] = np.arange(m, dtype=np.int64)
+    # head-absorbing predecessor doubling: rank[s] = distance from the
+    # cycle's head (min state id) to s along next_state
+    parent = np.where(is_head, np.arange(m, dtype=np.int64), pred_c)
+    crank = (~is_head).astype(np.int64)
+    while True:
+        crank = crank + crank[parent]
+        new_parent = parent[parent]
+        if np.array_equal(new_parent, parent):
+            break
+        parent = new_parent
+
+    order_c = np.lexsort((crank, head_c))
+    s_c = cyc_states[order_c]  # global state ids in walk order
+    v_c = vals_c[order_c]
+    h_c = head_c[order_c]
+    r_c = crank[order_c]
+    start_mask = np.empty(m, dtype=bool)
+    start_mask[0] = True
+    start_mask[1:] = h_c[1:] != h_c[:-1]
+    startsc = np.flatnonzero(start_mask)
+    lens_c = np.diff(np.append(startsc, m))
+    # one traversal per unitig cycle: first chain (ascending head order ==
+    # the one the old ascending-head walk emitted) per min-member-node key
+    min_node = np.minimum.reduceat(s_c >> 1, startsc)
+    _, first_idx = np.unique(min_node, return_index=True)
+    keep_idx = np.sort(first_idx)
+    k_lens = lens_c[keep_idx]
+    out_lens_c = k_lens + (k - 1)
+    off_c = np.zeros(len(keep_idx) + 1, dtype=np.int64)
+    np.cumsum(out_lens_c, out=off_c[1:])
+    buf_c = np.empty(off_c[-1], dtype=np.uint8)
+    first_vals = v_c[startsc[keep_idx]]
+    for j in range(k):
+        shift = np.uint64(2 * (k - 1 - j))
+        buf_c[off_c[:-1] + j] = _CODE_CHARS[
+            ((first_vals >> shift) & np.uint64(3)).astype(np.int64)
+        ]
+    chain_id_c = np.cumsum(start_mask) - 1
+    kept_pos = np.full(len(startsc), -1, dtype=np.int64)
+    kept_pos[keep_idx] = np.arange(len(keep_idx))
+    sel = (kept_pos[chain_id_c] >= 0) & ~start_mask
+    pos_c = off_c[kept_pos[chain_id_c[sel]]] + (k - 1) + r_c[sel]
+    buf_c[pos_c] = _CODE_CHARS[(v_c[sel] & np.uint64(3)).astype(np.int64)]
+    all_bytes_c = buf_c.tobytes()
+    cycle_strings = [
+        all_bytes_c[off_c[i] : off_c[i + 1]].decode()
+        for i in range(len(keep_idx))
+    ]
+    cycle_sums: List[int] = []
+    cycle_lens: List[int] = []
+    if node_counts is not None:
+        sums_all = np.add.reduceat(
+            node_counts[s_c >> 1].astype(np.int64), startsc
+        )
+        cycle_sums = [int(x) for x in sums_all[keep_idx]]
+        cycle_lens = [int(x) for x in k_lens]
+    return cycle_strings, cycle_sums, cycle_lens
+
+
+def _canonical_chain_strings(
+    all_bytes: bytes,
+    out_off: np.ndarray,
+    chain_lens: np.ndarray,
+    chain_sums,
+    cycle_strings: List[str],
+    cycle_sums: List[int],
+    cycle_lens: List[int],
+) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """Strand-canonicalize linear chains (keep the lexicographically
+    smaller of the two strand spellings; dedup palindromes) and append
+    the cycle results."""
+    unitigs: List[str] = []
+    occ_sums: List[int] = []
+    n_kmers: List[int] = []
+    seen_palindromes = set()
+    for c in range(len(out_off) - 1):
+        u = all_bytes[out_off[c] : out_off[c + 1]].decode()
+        rc_u = _rc_str(u)
+        if u == rc_u:
+            # palindromic unitig: both strand chains spell the same string;
+            # keep exactly one (whole unitigs of even length can be
+            # palindromic even though odd-k k-mers cannot)
+            if u in seen_palindromes:
+                continue
+            seen_palindromes.add(u)
+        elif u >= rc_u:
+            continue
+        unitigs.append(u)
+        if chain_sums is not None:
+            occ_sums.append(int(chain_sums[c]))
+            n_kmers.append(int(chain_lens[c]))
+    unitigs.extend(cycle_strings)
+    occ_sums.extend(cycle_sums)
+    n_kmers.extend(cycle_lens)
+    return (
+        unitigs,
+        np.asarray(occ_sums, dtype=np.int64),
+        np.asarray(n_kmers, dtype=np.int64),
+    )
+
+
 def _materialize(
     khi: np.ndarray,
     klo: np.ndarray,
@@ -817,77 +1110,13 @@ def _materialize(
     # one-state-at-a-time walk + O(L^2) rotation canonicalization, which
     # degenerated on repeat-dense genomes where cycles are long/common.
     cyc_states = np.flatnonzero(is_cycle & node_valid)
-    cycle_strings: List[str] = []
-    cycle_sums: List[int] = []
-    cycle_lens: List[int] = []
     if cyc_states.size:
-        m = cyc_states.size
-        comp = np.full(2 * n, -1, dtype=np.int64)
-        comp[cyc_states] = np.arange(m, dtype=np.int64)
-        nxt_c = comp[next_state[cyc_states]]
-        # in/out-degree <= 1 (unitig edge rule): cycle states form pure
-        # permutation cycles, never rho shapes
-        assert (nxt_c >= 0).all(), "cycle state links outside the cycle set"
-        head_c = head[cyc_states].astype(np.int64)
-        is_head = cyc_states == head_c
-        pred_c = np.empty(m, dtype=np.int64)
-        pred_c[nxt_c] = np.arange(m, dtype=np.int64)
-        # head-absorbing predecessor doubling: rank[s] = distance from the
-        # cycle's head (min state id) to s along next_state
-        parent = np.where(is_head, np.arange(m, dtype=np.int64), pred_c)
-        crank = (~is_head).astype(np.int64)
-        while True:
-            crank = crank + crank[parent]
-            new_parent = parent[parent]
-            if np.array_equal(new_parent, parent):
-                break
-            parent = new_parent
-
-        order_c = np.lexsort((crank, head_c))
-        s_c = cyc_states[order_c]  # global state ids in walk order
-        h_c = head_c[order_c]
-        r_c = crank[order_c]
-        start_mask = np.empty(m, dtype=bool)
-        start_mask[0] = True
-        start_mask[1:] = h_c[1:] != h_c[:-1]
-        startsc = np.flatnonzero(start_mask)
-        lens_c = np.diff(np.append(startsc, m))
-        # one traversal per unitig cycle: first chain (ascending head
-        # order == the one the old ascending-head walk emitted) per
-        # min-member-node key
-        min_node = np.minimum.reduceat(s_c >> 1, startsc)
-        _, first_idx = np.unique(min_node, return_index=True)
-        keep_idx = np.sort(first_idx)
-        k_lens = lens_c[keep_idx]
-        out_lens_c = k_lens + (k - 1)
-        off_c = np.zeros(len(keep_idx) + 1, dtype=np.int64)
-        np.cumsum(out_lens_c, out=off_c[1:])
-        buf_c = np.empty(off_c[-1], dtype=np.uint8)
-        first_vals = state_val[s_c[startsc[keep_idx]]]
-        for j in range(k):
-            shift = np.uint64(2 * (k - 1 - j))
-            buf_c[off_c[:-1] + j] = _CODE_CHARS[
-                ((first_vals >> shift) & np.uint64(3)).astype(np.int64)
-            ]
-        chain_id_c = np.cumsum(start_mask) - 1
-        kept_pos = np.full(len(startsc), -1, dtype=np.int64)
-        kept_pos[keep_idx] = np.arange(len(keep_idx))
-        sel = (kept_pos[chain_id_c] >= 0) & ~start_mask
-        pos_c = off_c[kept_pos[chain_id_c[sel]]] + (k - 1) + r_c[sel]
-        buf_c[pos_c] = _CODE_CHARS[
-            (state_val[s_c[sel]] & np.uint64(3)).astype(np.int64)
-        ]
-        all_bytes_c = buf_c.tobytes()
-        cycle_strings = [
-            all_bytes_c[off_c[i] : off_c[i + 1]].decode()
-            for i in range(len(keep_idx))
-        ]
-        if node_counts is not None:
-            sums_all = np.add.reduceat(
-                node_counts[s_c >> 1].astype(np.int64), startsc
-            )
-            cycle_sums = [int(x) for x in sums_all[keep_idx]]
-            cycle_lens = [int(x) for x in k_lens]
+        cycle_strings, cycle_sums, cycle_lens = _materialize_cycles(
+            next_state, head, cyc_states, state_val[cyc_states], k,
+            node_counts,
+        )
+    else:
+        cycle_strings, cycle_sums, cycle_lens = [], [], []
 
     # --- linear chains: vectorized assembly ---
     lin_mask = node_valid & ~is_cycle
@@ -930,39 +1159,15 @@ def _materialize(
     ]
 
     # per-chain coverage: occurrence counts summed over member nodes
+    chain_sums = None
     if node_counts is not None:
         chain_sums = np.add.reduceat(
             node_counts[s_sorted >> 1].astype(np.int64), starts
         )
 
-    all_bytes = buf.tobytes()
-    unitigs: List[str] = []
-    occ_sums: List[int] = []
-    n_kmers: List[int] = []
-    seen_palindromes = set()
-    for c in range(len(starts)):
-        u = all_bytes[out_off[c] : out_off[c + 1]].decode()
-        rc_u = _rc_str(u)
-        if u == rc_u:
-            # palindromic unitig: both strand chains spell the same string;
-            # keep exactly one (whole unitigs of even length can be
-            # palindromic even though odd-k k-mers cannot)
-            if u in seen_palindromes:
-                continue
-            seen_palindromes.add(u)
-        elif u >= rc_u:
-            continue
-        unitigs.append(u)
-        if node_counts is not None:
-            occ_sums.append(int(chain_sums[c]))
-            n_kmers.append(int(chain_lens[c]))
-    unitigs.extend(cycle_strings)
-    occ_sums.extend(cycle_sums)
-    n_kmers.extend(cycle_lens)
-    return (
-        unitigs,
-        np.asarray(occ_sums, dtype=np.int64),
-        np.asarray(n_kmers, dtype=np.int64),
+    return _canonical_chain_strings(
+        buf.tobytes(), out_off, chain_lens, chain_sums,
+        cycle_strings, cycle_sums, cycle_lens,
     )
 
 

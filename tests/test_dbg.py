@@ -441,3 +441,59 @@ def test_cycle_coverage_sums():
     assert len(unitigs) == 1
     assert int(n_kmers[0]) == period
     assert int(occ_sum[0]) == 3 * period
+
+
+def _keys_arrays(kmers, k):
+    keys = sorted({encode.pack_str(canon(x)) for x in kmers})
+    pad = max(8, 1 << int(np.ceil(np.log2(max(len(keys), 2)))))
+    n_lo = min(k, 16)
+    hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros(pad, dtype=bool)
+    for i, v in enumerate(keys):
+        hi[i] = v >> (2 * n_lo)
+        lo[i] = v & ((1 << (2 * n_lo)) - 1)
+        valid[i] = True
+    return hi, lo, valid
+
+
+def test_materialize_device_matches_host():
+    """materialize_unitigs_device == materialize_unitigs on linear chains,
+    cycles, palindromic junctions, hairpins, and isolated states -- and the
+    coverage variant's sums/lengths agree too."""
+    rng = np.random.default_rng(17)
+    cases = []
+    for seed, glen, k in [(0, 200, 5), (1, 200, 7), (2, 500, 11),
+                          (3, 1200, 31), (4, 90, 17)]:
+        g = "".join(np.random.default_rng(seed).choice(list("ACGT"),
+                                                       size=glen))
+        cases.append((genome_kmers(g, k), k))
+    cases.append((genome_kmers("ACGTGCAATCGGATCCA", 7), 7))  # palindrome
+    period = "ACGGTCA"
+    cases.append(
+        ([ (period * 3)[i:i+5] for i in range(len(period)) ], 5)
+    )  # cycle
+    big = "".join(rng.choice(list("ACGT"), size=3000))
+    cases.append((genome_kmers(big + big[:20], 21), 21))  # big incl. wrap
+
+    for kmers, k in cases:
+        hi, lo, valid = _keys_arrays(kmers, k)
+        links = dbg.build_unitig_links_join(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid), k=k
+        )
+        graph = dbg.pointer_jump(links)
+        want = dbg.materialize_unitigs(hi, lo, valid, graph, k)
+        got, occ, nk = dbg.materialize_unitigs_device(
+            hi, lo, valid, graph, k
+        )
+        assert got == want, k
+        assert occ.size == 0 and nk.size == 0
+        # coverage variant
+        counts = np.zeros(hi.shape[0], dtype=np.uint32)
+        counts[valid] = rng.integers(1, 9, size=int(valid.sum()))
+        wu, wo, wn = dbg.materialize_unitigs_cov(hi, lo, valid, graph, k,
+                                                 counts)
+        gu, go, gn = dbg.materialize_unitigs_device(hi, lo, valid, graph,
+                                                    k, counts)
+        assert gu == wu, k
+        assert np.array_equal(go, wo) and np.array_equal(gn, wn), k

@@ -370,9 +370,19 @@ def main() -> int:
     )
     if args.materialize:
         t0 = time.perf_counter()
-        unitigs = dbg.materialize_unitigs(
-            np.asarray(khi), np.asarray(klo), np.asarray(valid), graph, K
-        )
+        if use_cpu_ext:
+            # graph lives on the CPU backend; keep everything host-side
+            unitigs = dbg.materialize_unitigs(
+                np.asarray(khi), np.asarray(klo), np.asarray(valid), graph, K
+            )
+        else:
+            # device-assisted: walk sort + byte extraction on chip, one
+            # host placement pass; readback is 2 thin lanes + sorted ids
+            # instead of the whole graph (517 s -> minutes at celegans
+            # scale)
+            unitigs, _, _ = dbg.materialize_unitigs_device(
+                khi, klo, valid, graph, K
+            )
         emit(
             "materialize",
             wall_s=round(time.perf_counter() - t0, 3),
