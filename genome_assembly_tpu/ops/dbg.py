@@ -776,28 +776,41 @@ def materialize_unitigs_cov(
 _ASCII_TGCA = np.frombuffer(b"TGCA", dtype=np.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _materialize_prep(khi, klo, valid, head, rank, is_cycle, *, k):
-    """Device side of materialize_unitigs_device.
+@jax.jit
+def _materialize_prep_sort(valid, head, rank, is_cycle):
+    """Device walk sort for materialize_unitigs_device.
 
-    Sorts the linear valid states into (head, rank) walk order ON DEVICE
-    and emits each state's output BYTE (its value's last base as ASCII:
-    forward states end in klo & 3, rc states in the complement of the
-    forward k-mer's first base -- complement == 3 - code in the T=0 G=1
-    C=2 A=3 encoding).  Returns (sid_s, byte_s, chain_start, n_lin,
-    n_cyc): sorted state ids, bytes, chain-start flags, the count of
-    linear valid states (the live prefix; invalid/cycle rows sort to a
-    sentinel tail), and the cycle-state count (host falls back to the
-    cycle path only when nonzero).
+    Sorts linear valid states into (head, rank) walk order; invalid and
+    cycle rows sort to a sentinel tail.  Returns (sid_s, chain_start,
+    n_lin, n_cyc).  Split from the byte-extraction pass so the 3-lane
+    full-length sort's temporaries are dead before the key gather runs
+    -- fused, the two together exceeded a 16 GB chip at 200M states next
+    to the resident graph.
     """
-    n = khi.shape[0]
+    n2 = head.shape[0]
     node_valid = jnp.repeat(valid, 2)
     lin = node_valid & ~is_cycle
     big = jnp.int32(0x7FFFFFFF)
     key_head = jnp.where(lin, head, big)
     key_rank = jnp.where(lin, rank, big)
-    sid = jnp.arange(2 * n, dtype=jnp.int32)
+    sid = jnp.arange(n2, dtype=jnp.int32)
     h_s, _, sid_s = lax.sort((key_head, key_rank, sid), num_keys=2)
+    prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), h_s[:-1]])
+    chain_start = (h_s != prev) & (h_s != big)
+    n_lin = jnp.sum((h_s != big).astype(jnp.int32))
+    n_cyc = jnp.sum((is_cycle & node_valid).astype(jnp.int32))
+    return sid_s, chain_start, n_lin, n_cyc
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _materialize_prep_bytes(khi, klo, sid_s, *, k):
+    """Per-state output BYTE in walk order (second prep pass).
+
+    A state's contribution is its value's last base as ASCII: forward
+    states end in klo & 3, rc states in the complement of the forward
+    k-mer's FIRST base -- complement == 3 - code in the T=0 G=1 C=2 A=3
+    encoding.
+    """
     node = sid_s >> 1
     strand = sid_s & 1
     keys = jnp.stack([khi, klo], axis=1)[node]  # one row gather, not two
@@ -808,12 +821,7 @@ def _materialize_prep(khi, klo, valid, head, rank, is_cycle, *, k):
     else:
         first_code = (klo_g >> (2 * k - 2)) & 3
     code = jnp.where(strand == 0, klo_g & 3, 3 - first_code)
-    byte_s = jnp.asarray(_ASCII_TGCA)[code.astype(jnp.int32)]
-    prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), h_s[:-1]])
-    chain_start = (h_s != prev) & (h_s != big)
-    n_lin = jnp.sum((h_s != big).astype(jnp.int32))
-    n_cyc = jnp.sum((is_cycle & node_valid).astype(jnp.int32))
-    return sid_s, byte_s, chain_start, n_lin, n_cyc
+    return jnp.asarray(_ASCII_TGCA)[code.astype(jnp.int32)]
 
 
 def materialize_unitigs_device(
@@ -840,14 +848,14 @@ def materialize_unitigs_device(
     Returns (unitigs, occ_sums, n_kmers); the count arrays are empty when
     node_counts is None.
     """
-    khi_d = jnp.asarray(khi)
-    klo_d = jnp.asarray(klo)
-    valid_d = jnp.asarray(valid)
-    sid_s, byte_s, chain_start, n_lin, n_cyc = _materialize_prep(
-        khi_d, klo_d, valid_d, graph.head, graph.rank, graph.is_cycle, k=k
+    sid_s, chain_start, n_lin, n_cyc = _materialize_prep_sort(
+        jnp.asarray(valid), graph.head, graph.rank, graph.is_cycle
     )
-    n_lin = int(n_lin)
+    n_lin = int(n_lin)  # hard sync: the sort pass's temporaries are freed
     n_cyc = int(n_cyc)
+    byte_s = _materialize_prep_bytes(
+        jnp.asarray(khi), jnp.asarray(klo), sid_s, k=k
+    )
     khi_u = np.asarray(khi, dtype=np.uint64)
     klo_u = np.asarray(klo, dtype=np.uint64)
 
