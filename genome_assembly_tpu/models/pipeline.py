@@ -252,9 +252,11 @@ class FastAssembler:
                 link_budget=cfg.link_budget_bytes,
                 bulk_jump_states=cfg.bulk_jump_states,
             )
-            out = dbg.materialize_unitigs(
-                np.asarray(khi), np.asarray(klo), np.asarray(valid), graph,
-                cfg.k,
+            # beyond-HBM scale: walk sort + byte extraction on device, one
+            # host placement pass (identical output to the host
+            # materializer, differential-tested in ops/dbg tests)
+            out, _, _ = dbg.materialize_unitigs_device(
+                khi, klo, valid, graph, cfg.k
             )
             stats.entries_post_extension = len(out)
             return out, stats
