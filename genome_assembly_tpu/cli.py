@@ -259,13 +259,23 @@ def cmd_bench_scaling(args) -> int:
     results = []
     n = 1
     while n <= min(args.devices, jax.device_count()):
-        mesh = mesh_lib.make_mesh(n)
+        if args.routing == "two_level" and n >= 2:
+            from jax.sharding import Mesh
+
+            from genome_assembly_tpu.parallel import two_level
+
+            devs = np.array(jax.devices()[:n]).reshape(2, n // 2)
+            mesh = Mesh(devs, (two_level.SLICE_AXIS, two_level.SHARD_AXIS))
+            routing = "two_level"
+        else:
+            mesh = mesh_lib.make_mesh(n)
+            routing = args.routing if n > 1 else "padded"
         t_best = None
         for _ in range(3):
             t0 = time.perf_counter()
             sc = shard_count.sharded_count(
                 codes, lengths, read_ids, k=args.k, m=args.m,
-                parity=False, cutoff=1, mesh=mesh,
+                parity=False, cutoff=1, mesh=mesh, routing=routing,
             )
             jax.block_until_ready(sc.count)
             dt = time.perf_counter() - t0
@@ -339,6 +349,10 @@ def main(argv=None) -> int:
     b.add_argument("--batch-reads", type=int, default=4096)
     b.add_argument("--k", type=int, default=21)
     b.add_argument("--m", type=int, default=7)
+    b.add_argument("--routing", choices=["padded", "ragged", "two_level"],
+                   default="padded",
+                   help="record-exchange layout (two_level = DCN-aware "
+                   "2-slice hierarchical routing)")
     b.set_defaults(fn=cmd_bench_scaling)
 
     args = ap.parse_args(argv)
