@@ -447,6 +447,137 @@ def build_unitig_links_ooc(
 
 
 @jax.jit
+def _compact_edges(src: jnp.ndarray, dst: jnp.ndarray):
+    """Sort real edges to the front for a thin host readback.
+
+    src rows of -1 (no edge) become SENTINEL and sort last; the edge count
+    is returned as a device scalar so the host can slice the readback to
+    exactly n_edges rows (the relay moves ~15 MB/s, so reading the full
+    padded partition back would dominate the build).
+    """
+    sent = jnp.uint32(0xFFFFFFFF)
+    key = jnp.where(src >= 0, src.astype(jnp.uint32), sent)
+    key_s, dst_s = lax.sort((key, dst.astype(jnp.uint32)), num_keys=1)
+    return key_s, dst_s, jnp.sum(src >= 0)
+
+
+def build_unitig_links_parked(
+    khi,
+    klo,
+    valid,
+    *,
+    k: int,
+    partitions: int,
+    chunk_nodes: int = 1 << 24,
+    slack: float = 1.6,
+    park_links: bool = False,
+):
+    """build_unitig_links_ooc with the big residents parked in host RAM.
+
+    The plain out-of-core builder keeps the full key array AND the 2N link
+    array device-resident (ops/dbg.py build_unitig_links_ooc) -- ~12 GB at
+    3 Gbp for those two alone, over a 16 GB chip's budget before sort
+    temporaries.  This variant removes either or both residents:
+
+    - **parked keys**: pass khi/klo/valid as HOST numpy arrays; each group
+      pass re-uploads them chunk-by-chunk (the upload is streamed, never
+      whole-array), so the device holds one chunk's keys at a time.
+    - **parked links** (``park_links=True``): each partition's edges are
+      compacted on device, read back as exactly n_edges (src, dst) rows,
+      and scattered into a host-resident int32 next_state -- the device
+      never holds the 2N link array.  Total readback = 8 B x n_edges
+      (~2N); on PCIe hardware this is negligible, on the axon relay it is
+      ~n_edges/2M seconds.
+
+    Results are bit-identical to build_unitig_links_join /
+    build_unitig_links_ooc (differential-tested).  Returns
+    (next_state, overflow_count); next_state is host numpy when
+    park_links else a device array.  Peak device memory: one chunk's
+    keys + GROUP staging + one partition's sort (+ the 2N link array only
+    when not park_links).
+    """
+    from genome_assembly_tpu.ops import outofcore
+
+    if k % 2 == 0:
+        raise ValueError("fast-mode dBG requires odd k")
+    keys_hosted = isinstance(khi, np.ndarray)
+    xp = np if keys_hosted else jnp
+    n = khi.shape[0]
+    if n % chunk_nodes:
+        pad = chunk_nodes - (n % chunk_nodes)
+        sent = xp.uint32(0xFFFFFFFF)
+        khi = xp.concatenate([khi, xp.full((pad,), sent, xp.uint32)])
+        klo = xp.concatenate([klo, xp.full((pad,), sent, xp.uint32)])
+        valid = xp.concatenate([valid, xp.zeros((pad,), bool)])
+    n_padded = khi.shape[0]
+    n_chunks = n_padded // chunk_nodes
+    rec_per_chunk = 4 * chunk_nodes
+    cap_bp = min(
+        rec_per_chunk,
+        int(np.ceil(rec_per_chunk / partitions * slack)) + 1,
+    )
+
+    if park_links:
+        next_host = np.full(2 * n_padded, -1, dtype=np.int32)
+        next_state = None
+    else:
+        next_state = jnp.full(2 * n_padded, -1, dtype=jnp.int32)
+    ovf_total = 0
+    n_groups = (partitions + outofcore.GROUP - 1) // outofcore.GROUP
+    for g in range(n_groups):
+        pieces = [([], [], []) for _ in range(outofcore.GROUP)]
+        ovf_dev = jnp.zeros((outofcore.GROUP,), jnp.int32)
+        for c in range(n_chunks):
+            s = c * chunk_nodes
+            chi = khi[s : s + chunk_nodes]
+            clo = klo[s : s + chunk_nodes]
+            cva = valid[s : s + chunk_nodes]
+            if keys_hosted:
+                chi, clo, cva = (
+                    jax.device_put(chi), jax.device_put(clo), jax.device_put(cva)
+                )
+            rk_hi, rk_lo, rpay = _chunk_boundary_records(
+                chi, clo, cva, jnp.int32(s), k=k, chunk_nodes=chunk_nodes
+            )
+            del chi, clo, cva
+            ghi, glo, gpay, ovf = outofcore.extract_partition_group3(
+                rk_hi, rk_lo, rpay, jnp.uint32(g),
+                partitions=partitions, cap_bp=cap_bp,
+            )
+            for r in range(outofcore.GROUP):
+                pieces[r][0].append(ghi[r])
+                pieces[r][1].append(glo[r])
+                pieces[r][2].append(gpay[r])
+            ovf_dev = ovf_dev + ovf.astype(jnp.int32)
+        ovf_total += int(jnp.sum(ovf_dev))
+
+        for r in range(outofcore.GROUP):
+            p = g * outofcore.GROUP + r
+            if p >= partitions:
+                continue
+            cat_hi = jnp.concatenate(pieces[r][0])
+            cat_lo = jnp.concatenate(pieces[r][1])
+            cat_pay = jnp.concatenate(pieces[r][2])
+            pieces[r] = None  # free staging before the partition sort
+            src, dst = _partition_edges(cat_hi, cat_lo, cat_pay)
+            del cat_hi, cat_lo, cat_pay
+            if park_links:
+                src_c, dst_c, n_edges = _compact_edges(src, dst)
+                del src, dst
+                ne = int(n_edges)  # hard sync; sort temporaries freed
+                src_h = np.asarray(src_c[:ne]).astype(np.int64)
+                dst_h = np.asarray(dst_c[:ne]).astype(np.int32)
+                del src_c, dst_c
+                next_host[src_h] = dst_h
+            else:
+                next_state = _scatter_edges(next_state, src, dst)
+                del src, dst
+    if park_links:
+        return next_host[: 2 * n], ovf_total
+    return next_state[: 2 * n], ovf_total
+
+
+@jax.jit
 def pointer_jump(next_state: jnp.ndarray) -> CompactedGraph:
     """List-rank the unitig chains: head id + rank per state.
 

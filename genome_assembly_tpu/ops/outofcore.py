@@ -437,7 +437,12 @@ def partitioned_count_parity(
 
 
 class PartitionedCount(NamedTuple):
-    """Union of per-partition pruned keys (unordered across partitions)."""
+    """Union of per-partition pruned keys (unordered across partitions).
+
+    With ``return_host=True`` the three arrays are host numpy (the keys
+    were already hosted per partition during the passes, so this avoids
+    BOTH the final whole-array upload and any later readback when the
+    link builder runs in host-parked mode)."""
 
     kmer_hi: jnp.ndarray  # [n_kept] kept canonical keys (exact size: each
     kmer_lo: jnp.ndarray  # partition is trimmed to its true kept count)
@@ -458,6 +463,7 @@ def partitioned_count(
     slack: float = 1.6,
     pallas_sort: bool = False,
     checkpoint_dir: str | None = None,
+    return_host: bool = False,
 ) -> PartitionedCount:
     """Count n_batches record batches in ``partitions`` re-scan passes.
 
@@ -619,12 +625,11 @@ def partitioned_count(
                 )
                 tmp.rename(ckpt / f"part_{p}.npz")
 
-    kmer_hi = jnp.asarray(
-        np.concatenate([np.asarray(a, dtype=np.uint32) for a in khi_parts])
-    )
-    kmer_lo = jnp.asarray(
-        np.concatenate([np.asarray(a, dtype=np.uint32) for a in klo_parts])
-    )
+    kmer_hi = np.concatenate([np.asarray(a, dtype=np.uint32) for a in khi_parts])
+    kmer_lo = np.concatenate([np.asarray(a, dtype=np.uint32) for a in klo_parts])
+    if not return_host:
+        kmer_hi = jnp.asarray(kmer_hi)
+        kmer_lo = jnp.asarray(kmer_lo)
     valid = kmer_hi != SENTINEL
     return PartitionedCount(
         kmer_hi=kmer_hi,

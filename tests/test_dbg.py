@@ -369,6 +369,53 @@ def test_ooc_link_builder_matches_join():
         assert np.array_equal(np.asarray(got), want), (trial, k, parts, chunk)
 
 
+def test_parked_link_builder_matches_join():
+    """build_unitig_links_parked (host-parked keys and/or host-parked link
+    array) == build_unitig_links_join, for all four parking combinations.
+    Host-parked keys arrive as numpy and are uploaded chunk-by-chunk;
+    park_links accumulates next_state in host RAM from compacted edge
+    readbacks -- the chromosome-scale configuration where neither the key
+    array nor the 2N link array fits device HBM next to sort temporaries."""
+    rng = np.random.default_rng(13)
+    for trial, (k, glen, parts, chunk) in enumerate(
+        [
+            (11, 600, 4, 128),
+            (31, 1500, 5, 256),
+        ]
+    ):
+        genome = "".join(rng.choice(list("ACGT"), size=glen))
+        keys = sorted({encode.pack_str(canon(x)) for x in genome_kmers(genome, k)})
+        pad = max(8, 1 << int(np.ceil(np.log2(max(len(keys), 2)))))
+        n_lo = min(k, 16)
+        hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+        lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+        valid = np.zeros(pad, dtype=bool)
+        for i, v in enumerate(keys):
+            hi[i] = v >> (2 * n_lo)
+            lo[i] = v & ((1 << (2 * n_lo)) - 1)
+            valid[i] = True
+        want = np.asarray(
+            dbg.build_unitig_links_join(
+                jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid), k=k
+            )
+        )
+        for host_keys in (False, True):
+            for park_links in (False, True):
+                kh = hi if host_keys else jnp.asarray(hi)
+                kl = lo if host_keys else jnp.asarray(lo)
+                va = valid if host_keys else jnp.asarray(valid)
+                got, ovf = dbg.build_unitig_links_parked(
+                    kh, kl, va, k=k, partitions=parts, chunk_nodes=chunk,
+                    park_links=park_links,
+                )
+                assert ovf == 0, (trial, host_keys, park_links)
+                if park_links:
+                    assert isinstance(got, np.ndarray)
+                assert np.array_equal(np.asarray(got), want), (
+                    trial, k, host_keys, park_links,
+                )
+
+
 def test_large_cycle_materializes_fast():
     """A 20k-period circular genome is ONE cycle unitig; the vectorized
     cycle path (pointer-doubled ranks + flat-buffer assembly + min-node

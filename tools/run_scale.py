@@ -29,6 +29,19 @@ PRESETS = {
                   kept_cap=1 << 23),
     "celegans": dict(genome_len=100_000_000, coverage=30, read_len=100,
                      batch=131072, kept_cap=1 << 27),
+    # human chromosome 1 scale (248.9 Mbp), 30x -- the largest configuration
+    # whose pointer-jump tables (2 x 500M states x 2 lanes x 4 B = 8 GB)
+    # still fit a single 16 GB chip; links and keys are host-parked
+    # (--park-keys --park-links) to rehearse the 3 Gbp memory plan
+    "chr1": dict(genome_len=250_000_000, coverage=30, read_len=100,
+                 batch=131072, kept_cap=1 << 28),
+    # BASELINE.json config 5 (full human genome, 3 Gbp x 30x).  The COUNT
+    # runs on one chip (resumable, ~500 partitions); the extension's state
+    # ids exceed int32 at ~6G states, so single-array extension is guarded
+    # off -- config 5's extension is the partitioned dBG on a pod slice
+    # (parallel/part_dbg.py), see SCALE.md for the budget table.
+    "humanchr": dict(genome_len=3_000_000_000, coverage=30, read_len=100,
+                     batch=131072, kept_cap=3_200_000_000),
 }
 
 
@@ -77,6 +90,20 @@ def main() -> int:
         default=1 << 23,
         help="nodes per chunk when regenerating boundary records "
         "out-of-core (ops/dbg.build_unitig_links_ooc)",
+    )
+    ap.add_argument(
+        "--park-keys",
+        action="store_true",
+        help="keep the kept-key arrays in host RAM; the link builder "
+        "re-uploads them chunk-by-chunk per pass (removes the key arrays "
+        "from device residency -- required at 3 Gbp where they are 24 GB)",
+    )
+    ap.add_argument(
+        "--park-links",
+        action="store_true",
+        help="accumulate the 2N link array in host RAM from compacted "
+        "per-partition edge readbacks (removes the link array from device "
+        "residency during the build; it is re-uploaded once for the jump)",
     )
     ap.add_argument(
         "--materialize",
@@ -216,6 +243,7 @@ def main() -> int:
             kept_cap=kept_cap,
             pallas_sort=args.pallas_sort,
             checkpoint_dir=args.checkpoint_dir or None,
+            return_host=args.park_keys,
         )
         assert pc.batch_overflows == 0, "raise outofcore slack"
         assert not pc.kept_overflow, f"raise kept_cap (kept={pc.n_kept})"
@@ -279,6 +307,15 @@ def main() -> int:
         return 0
 
     t0 = time.perf_counter()
+    if 2 * kept_cap > 2**31:
+        # single-array extension addresses states with int32; ~6G states at
+        # 3 Gbp exceed it.  Config 5's extension is the partitioned dBG
+        # over a pod slice (parallel/part_dbg.py: per-shard state ranges),
+        # not a bigger single array -- see SCALE.md.
+        emit("extension_skipped",
+             reason="states exceed int32; use the partitioned dBG on a "
+             "multi-chip slice (run with --count-only on one chip)")
+        return 1
     # legacy escape hatch: run the extension graph on the host CPU backend
     # above --tpu-ext-limit states (the old gather-loop TPU fault is gone
     # with the sort-join; out-of-core link building removes the HBM wall)
@@ -301,7 +338,32 @@ def main() -> int:
             else int(np.ceil(rec_bytes / link_budget))
         )
     try:
-        if link_partitions > 1:
+        if args.park_keys or args.park_links:
+            link_partitions = max(link_partitions, 2)
+            emit("links_parked", partitions=link_partitions,
+                 chunk_nodes=args.link_chunk, park_keys=args.park_keys,
+                 park_links=args.park_links)
+            kh = np.asarray(khi) if args.park_keys else khi
+            kl = np.asarray(klo) if args.park_keys else klo
+            va = np.asarray(valid) if args.park_keys else valid
+            links, link_ovf = dbg.build_unitig_links_parked(
+                kh, kl, va, k=K,
+                partitions=link_partitions, chunk_nodes=args.link_chunk,
+                park_links=args.park_links,
+            )
+            assert link_ovf == 0, "raise link slack"
+            if args.park_keys:
+                khi, klo, valid = kh, kl, va  # host numpy from here on
+            if args.park_links:
+                t_up = time.perf_counter()
+                links = jnp.asarray(links)  # one upload for the jump
+                float(links[0])
+                emit("links_upload", wall_s=round(time.perf_counter() - t_up, 3))
+            else:
+                float(links[0])  # hard sync
+            emit("links", wall_s=round(time.perf_counter() - t0, 3),
+                 partitions=link_partitions)
+        elif link_partitions > 1:
             emit("links_outofcore", partitions=link_partitions,
                  chunk_nodes=args.link_chunk)
             links, link_ovf = dbg.build_unitig_links_ooc(
