@@ -127,12 +127,17 @@ def batch_reads(
     max_len: int,
     batch_size: int | None = None,
     start_id: int = 0,
+    parity_chars: bool = False,
 ) -> List[ReadBatch]:
     """Encode and pad reads into fixed-shape batches.
 
     Every read (even empty ones) consumes a read id, mirroring the reference
     driver.  Reads longer than ``max_len`` are rejected here; long sequences
     go through the halo'd segment path (parallel/halo.py).
+
+    parity_chars: encode with the reference's exact getval table (only
+    uppercase TGCA are real; lowercase/N/etc. score as 'A') instead of the
+    lenient fast-mode table that accepts lowercase bases.
     """
     ids = np.arange(start_id, start_id + len(reads), dtype=np.uint32)
     for r in reads:

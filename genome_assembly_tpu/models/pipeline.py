@@ -105,7 +105,8 @@ class CountPipeline:
         cfg = self.config
         stats = PhaseStats(n_reads=len(reads))
         batches = reads_io.batch_reads(
-            reads, cfg.max_read_len, cfg.batch_reads, start_id=start_id
+            reads, cfg.max_read_len, cfg.batch_reads, start_id=start_id,
+            parity_chars=cfg.parity,
         )
         if not batches:
             raise ValueError("no reads")
@@ -501,18 +502,31 @@ class ParityAssembler:
         self.counter = CountPipeline(self.config)
 
     def load(self, path: str) -> List[str]:
-        reads = reads_io.load_reads_parity(path, self.config.read_length)
-        reads_io.validate_acgt(reads)
-        return reads
+        # Any byte is accepted, as the reference accepts any byte (getval
+        # scores unknown chars as 'A', binning.c:107-109); reads containing
+        # non-ACGT take the exact exception path (parity/nonacgt.py).
+        return reads_io.load_reads_parity(path, self.config.read_length)
 
     def pruned_table(
         self, reads: Sequence[str]
     ) -> Tuple[table_ops.HostTable, PhaseStats]:
+        self._reject_dirty(reads, "pruned_table (packed HostTable cannot "
+                           "carry raw bytes; use pruned_table_dict)")
         if self._needs_outofcore(reads):
             return self._groups_outofcore(reads, self.config.abundance_cutoff)
         counted, stats = self.counter.count_reads(reads)
         host = table_ops.extract_groups(counted, pruned=True)
         return host, stats
+
+    def _reject_dirty(self, reads: Sequence[str], where: str) -> None:
+        from genome_assembly_tpu.parity import nonacgt
+
+        if nonacgt.has_non_acgt(reads):
+            raise NotImplementedError(
+                f"reads contain non-ACGT bytes, unsupported by {where}; "
+                "the in-core assemble()/pruned_table_dict() paths handle "
+                "them exactly (parity/nonacgt.py)"
+            )
 
     def _needs_outofcore(self, reads: Sequence[str]) -> bool:
         """True when the 5-lane parity record set exceeds the HBM budget."""
@@ -602,17 +616,25 @@ class ParityAssembler:
         stream index.
         routing: "padded" or "ragged" record exchange for the mesh path.
         """
+        from genome_assembly_tpu.parity import nonacgt
         from genome_assembly_tpu.parity import replay as replay_mod
 
         cfg = self.config
+        dirty = nonacgt.has_non_acgt(reads)
         if mesh is not None:
+            if dirty:
+                self._reject_dirty(reads, "sharded counting")
             return self._assemble_sharded(
                 reads, mesh, verbose, routing=routing
             ), PhaseStats(n_reads=len(reads))
         if self._needs_outofcore(reads):
+            if dirty:
+                self._reject_dirty(reads, "out-of-core counting")
             # hash-partitioned multi-pass counting; cutoff -1 keeps every
             # group -- the replay performs the reference's own pruning
             host_all, stats = self._groups_outofcore(reads, -1)
+        elif dirty:
+            return self._assemble_nonacgt(reads, engine, verbose)
         else:
             counted, stats = self.counter.count_reads(reads)
             host_all = table_ops.extract_groups(counted, pruned=False)
@@ -638,6 +660,63 @@ class ParityAssembler:
         rep.extend_all(False)
         out = rep.print_kmer_read_ids() if verbose else rep.print_kmers()
         return out, stats
+
+    def _nonacgt_groups(self, reads: Sequence[str]):
+        """Device count + exact raw-byte regrouping (parity/nonacgt.py),
+        unpruned, in insertion order."""
+        from genome_assembly_tpu.parity import nonacgt
+
+        cfg = self.config
+        counted, stats = self.counter.count_reads(reads)
+        host_all, streams = table_ops.extract_groups_with_streams(
+            counted, pruned=False
+        )
+        groups = nonacgt.regroup_with_exceptions(
+            host_all, streams, reads,
+            k=cfg.k, m=cfg.m, n_win=cfg.max_read_len - cfg.k + 1,
+        )
+        return groups, stats
+
+    def _assemble_nonacgt(
+        self, reads: Sequence[str], engine: str, verbose: bool
+    ):
+        """Exact parity for read sets containing non-ACGT bytes: the
+        regrouped string groups (raw bytes preserved) feed either replay
+        engine; pruning happens inside the replay as always."""
+        from genome_assembly_tpu.parity import replay as replay_mod
+
+        cfg = self.config
+        groups, stats = self._nonacgt_groups(reads)
+        if engine == "auto":
+            try:
+                from genome_assembly_tpu.native import replay_native
+
+                engine = "native" if replay_native.available() else "python"
+            except ImportError:
+                engine = "python"
+        if engine == "native":
+            from genome_assembly_tpu.native import replay_native
+
+            return replay_native.assemble_groups(
+                groups, cfg.k, cfg.m, cfg.abundance_cutoff, verbose=verbose
+            ), stats
+        rep = replay_mod.ReferenceReplay(cfg.k, cfg.m, cfg.abundance_cutoff)
+        rep.build(groups)
+        rep.prune()
+        rep.expand()
+        rep.extend_all(True)
+        rep.extend_all(False)
+        out = rep.print_kmer_read_ids() if verbose else rep.print_kmers()
+        return out, stats
+
+    def pruned_table_groups(self, reads: Sequence[str]):
+        """Pruned table as STRING groups [(mmer, kmer, ids)] -- the form
+        that can carry raw non-ACGT key bytes (the reference stores raw
+        bytes in uncomplemented keys, binning.c:1023-1028)."""
+        from genome_assembly_tpu.parity import nonacgt
+
+        groups, _ = self._nonacgt_groups(reads)
+        return nonacgt.prune_groups(groups, self.config.abundance_cutoff)
 
     def expanded_table(self, reads: Sequence[str], engine: str = "auto"):
         """Post-extension expanded per-base-pair read-id table, queryable.

@@ -233,12 +233,26 @@ class Engine {
 
   void build(int64_t n_groups, const uint32_t* mmer, const uint32_t* khi,
              const uint32_t* klo, const int64_t* id_offsets,
-             const int32_t* read_ids) {
+             const int32_t* read_ids, int64_t n_raw = 0,
+             const int64_t* raw_idx = nullptr,
+             const char* raw_mmer = nullptr, const char* raw_kmer = nullptr) {
+    // raw-key override channel (non-ACGT parity, binning.c:1023-1028:
+    // uncomplemented keys store the READ's raw bytes verbatim): group
+    // raw_idx[i] uses the given byte strings instead of the packed
+    // decode.  raw_idx must be ascending.
     int n_lo = k_ < 16 ? k_ : 16;
+    int64_t ri = 0;
     for (int64_t g = 0; g < n_groups; g++) {
-      std::string mstr = decode(mmer[g], m_);
-      uint64_t kv = ((uint64_t)khi[g] << (2 * n_lo)) | klo[g];
-      std::string kstr = decode64(kv, k_);
+      std::string mstr, kstr;
+      if (ri < n_raw && raw_idx[ri] == g) {
+        mstr.assign(raw_mmer + ri * m_, m_);
+        kstr.assign(raw_kmer + ri * k_, k_);
+        ri++;
+      } else {
+        mstr = decode(mmer[g], m_);
+        uint64_t kv = ((uint64_t)khi[g] << (2 * n_lo)) | klo[g];
+        kstr = decode64(kv, k_);
+      }
       Table2* t2;
       L1Entry* me = l1_.find(mstr);
       if (me == nullptr) {
@@ -549,6 +563,39 @@ extern "C" {
 // Full replay.  Returns 0 on success (out_text = malloc'd output buffer) or
 // 1 on abort (out_text = malloc'd error message).  out_stats[0..2] =
 // pre-prune entries, post-prune entries, post-extension entries.
+int ga_parity_replay_raw(int k, int m, int cutoff, int64_t n_groups,
+                         const uint32_t* mmer, const uint32_t* kmer_hi,
+                         const uint32_t* kmer_lo, const int64_t* id_offsets,
+                         const int32_t* read_ids, int64_t n_raw,
+                         const int64_t* raw_idx, const char* raw_mmer,
+                         const char* raw_kmer, int verbose, char** out_text,
+                         int64_t* out_stats) {
+  try {
+    Engine eng(k, m, cutoff);
+    eng.build(n_groups, mmer, kmer_hi, kmer_lo, id_offsets, read_ids,
+              n_raw, raw_idx, raw_mmer, raw_kmer);
+    eng.prune();
+    eng.expand();
+    eng.extend_all(true);
+    eng.extend_all(false);
+    std::string out = verbose ? eng.print_kmer_read_ids() : eng.print_kmers();
+    *out_text = (char*)malloc(out.size() + 1);
+    memcpy(*out_text, out.data(), out.size());
+    (*out_text)[out.size()] = '\0';
+    if (out_stats != nullptr) {
+      out_stats[0] = eng.n_pre_;
+      out_stats[1] = eng.n_post_prune_;
+      out_stats[2] = eng.n_post_ext_;
+    }
+    return 0;
+  } catch (const ReplayAbort& e) {
+    *out_text = (char*)malloc(e.message.size() + 1);
+    memcpy(*out_text, e.message.data(), e.message.size());
+    (*out_text)[e.message.size()] = '\0';
+    return 1;
+  }
+}
+
 int ga_parity_replay(int k, int m, int cutoff, int64_t n_groups,
                      const uint32_t* mmer, const uint32_t* kmer_hi,
                      const uint32_t* kmer_lo, const int64_t* id_offsets,

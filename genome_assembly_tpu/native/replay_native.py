@@ -32,6 +32,25 @@ def _load():
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.ga_parity_replay_raw.restype = ctypes.c_int
+        lib.ga_parity_replay_raw.argtypes = [
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.ga_free.argtypes = [ctypes.c_char_p]
         _lib = lib
     return _lib
@@ -91,6 +110,72 @@ def replay(
     if rc != 0:
         raise RuntimeError(f"native parity replay aborted: {text}")
     return text, (int(stats[0]), int(stats[1]), int(stats[2]))
+
+
+def assemble_groups(
+    groups, k: int, m: int, cutoff: int, verbose: bool = False
+):
+    """Run the native replay over insertion-ordered STRING groups.
+
+    groups: [(mmer_str, kmer_str, [read ids in stream order])], as built
+    by parity/nonacgt.regroup_with_exceptions -- key strings may contain
+    raw non-ACGT bytes, which ride the override channel
+    (ga_parity_replay_raw) instead of the packed lanes.
+    """
+    from genome_assembly_tpu.ops import encode
+
+    lib = _load()
+    n = len(groups)
+    mmer = np.zeros(n, dtype=np.uint32)
+    khi = np.zeros(n, dtype=np.uint32)
+    klo = np.zeros(n, dtype=np.uint32)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    raw_idx = []
+    raw_m = bytearray()
+    raw_k = bytearray()
+    ids_parts = []
+    pure = frozenset("TGCA")
+    for g, (sig, kmer, id_list) in enumerate(groups):
+        if len(sig) != m or len(kmer) != k:
+            raise ValueError(f"group {g}: key lengths != (m={m}, k={k})")
+        if pure.issuperset(sig) and pure.issuperset(kmer):
+            mmer[g] = encode.pack_str(sig)
+            hi, lo = encode.int_to_split(encode.pack_str(kmer), k)
+            khi[g], klo[g] = hi, lo
+        else:
+            raw_idx.append(g)
+            raw_m.extend(sig.encode("latin-1"))
+            raw_k.extend(kmer.encode("latin-1"))
+        offsets[g + 1] = offsets[g] + len(id_list)
+        ids_parts.append(np.asarray(id_list, dtype=np.int32))
+    flat_ids = (
+        np.concatenate(ids_parts) if ids_parts else np.zeros(0, np.int32)
+    )
+    raw_idx_a = np.asarray(raw_idx, dtype=np.int64)
+    out_text = ctypes.c_char_p()
+    stats = (ctypes.c_int64 * 3)()
+    rc = lib.ga_parity_replay_raw(
+        k, m, cutoff, n,
+        mmer.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        khi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        klo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        flat_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(raw_idx_a),
+        raw_idx_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bytes(raw_m),
+        bytes(raw_k),
+        1 if verbose else 0,
+        ctypes.byref(out_text),
+        stats,
+    )
+    text = out_text.value.decode("latin-1") if out_text.value is not None else ""
+    lib.ga_free(out_text)
+    if rc != 0:
+        raise RuntimeError(f"native parity replay aborted: {text}")
+    if verbose:
+        return text
+    return text.splitlines()
 
 
 def assemble(host_table, k: int, m: int, cutoff: int, verbose: bool = False):

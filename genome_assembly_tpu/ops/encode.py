@@ -25,11 +25,19 @@ import jax.numpy as jnp
 BASE_BY_CODE = "TGCA"
 
 # ASCII -> code lookup. Unknown characters map to 3 ('A'), matching the
-# reference's getval default (binning.c:107-109).
+# reference's getval default (binning.c:107-109); as a convenience for
+# fast-mode inputs, lowercase acgt also map to their real codes (the
+# reference would score them as 'A' -- parity paths use the REF table).
 _ASCII_TO_CODE = np.full(256, 3, dtype=np.uint8)
 for _i, _ch in enumerate(BASE_BY_CODE):
     _ASCII_TO_CODE[ord(_ch)] = _i
     _ASCII_TO_CODE[ord(_ch.lower())] = _i
+
+# getval-EXACT table (binning.c:91-111): only uppercase TGCA are real;
+# every other byte (including lowercase acgt and 'N') scores as 3.
+_ASCII_TO_CODE_REF = np.full(256, 3, dtype=np.uint8)
+for _i, _ch in enumerate(BASE_BY_CODE):
+    _ASCII_TO_CODE_REF[ord(_ch)] = _i
 
 _CODE_TO_ASCII = np.frombuffer(BASE_BY_CODE.encode(), dtype=np.uint8).copy()
 
@@ -250,6 +258,14 @@ def encode_str(s: str) -> np.ndarray:
     return _ASCII_TO_CODE[np.frombuffer(s.encode(), dtype=np.uint8)]
 
 
+def encode_str_parity(s: str) -> np.ndarray:
+    """String -> codes with the reference's EXACT getval semantics:
+    only uppercase TGCA are real bases, every other byte is 3
+    (binning.c:91-111).  Parity mode must use this table so non-ACGT
+    and lowercase bytes score exactly as the reference scores them."""
+    return _ASCII_TO_CODE_REF[np.frombuffer(s.encode("latin-1"), dtype=np.uint8)]
+
+
 def decode_str(codes: np.ndarray) -> str:
     """uint8 code array -> string (host)."""
     return _CODE_TO_ASCII[np.asarray(codes, dtype=np.int64)].tobytes().decode()
@@ -257,10 +273,12 @@ def decode_str(codes: np.ndarray) -> str:
 
 def score_str(s: str) -> int:
     """Reference getscore of a string (binning.c:114-124), exact semantics
-    including the default-to-'A' mapping for unknown characters."""
+    including the default-to-'A' mapping for unknown characters (the
+    reference's switch lists only uppercase TGCA, so lowercase bases are
+    unknown too -- the REF table, not the lenient fast-mode one)."""
     score = 0
     for ch in s:
-        score = score * 4 + int(_ASCII_TO_CODE[ord(ch)])
+        score = score * 4 + int(_ASCII_TO_CODE_REF[ord(ch) & 0xFF])
     return score
 
 

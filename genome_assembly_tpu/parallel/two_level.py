@@ -89,9 +89,15 @@ def _bucket_exchange(lanes, bucket, n_buckets, cap, axis_name, fills=None):
 
 def _scan_route_2level(
     codes, lengths, read_ids, stream_offset, *, k, m, parity, n_slices,
-    n_ici, cap1, cap2,
+    n_ici, cap1, cap2, ici_axis=SHARD_AXIS, n_lead=2,
 ):
-    """Per-device body: local scan -> ICI stage -> DCN stage -> count."""
+    """Per-device body: local scan -> ICI stage -> DCN stage -> count.
+
+    ici_axis may be a single mesh axis name or a TUPLE of axis names (a
+    multi-axis ICI torus, e.g. the (x, y) axes of a (slices, x, y) mesh):
+    jax collectives treat an axis-name tuple as one combined row-major
+    axis, which matches the global shard numbering g = ds*n_ici + dd.
+    """
     scan = minimizer_ops.parity_scan if parity else minimizer_ops.fast_scan
     recs = scan(codes, lengths, k=k, m=m)
     rows, n_win = recs.mmer.shape
@@ -112,7 +118,7 @@ def _scan_route_2level(
     fills = (SENTINEL, jnp.uint32(0), jnp.uint32(0), jnp.uint32(0),
              jnp.uint32(0xFFFFFFFF))
     lanes, ovf1 = _bucket_exchange(
-        (mmer, khi, klo, rid, stream), dd, n_ici, cap1, SHARD_AXIS,
+        (mmer, khi, klo, rid, stream), dd, n_ici, cap1, ici_axis,
         fills=fills,
     )
     mmer1 = lanes[0]
@@ -130,9 +136,10 @@ def _scan_route_2level(
     out = shard_count._local_count(
         m2, hi2, lo2, rid2, st2, v2, ovf1 + ovf2
     )
-    # shard_map over a 2-D mesh: give every output a [1, 1, ...] leading
-    # block so out_specs can shard both axes
-    return tuple(x[None] for x in out)
+    # shard_map over an n_lead-axis mesh: _local_count's outputs carry one
+    # leading [1] block dim (the flat router's convention); widen it to
+    # [1]*n_lead so out_specs can shard every mesh axis
+    return tuple(x.reshape((1,) * n_lead + x.shape[1:]) for x in out)
 
 
 @functools.partial(
@@ -151,16 +158,30 @@ def sharded_count_two_level(
     mesh: Mesh,
     slack: float = 4.0,
 ) -> shard_count.ShardedCount:
-    """Distributed count+prune over a 2-D (slices, shards) mesh.
+    """Distributed count+prune over a (slices, *ici_axes) mesh.
 
     Drop-in for shard_count.sharded_count with routing split into an
     intra-slice ICI stage and an inter-slice DCN stage.  Results are
     bit-identical to the flat router's: global shard g = ds*n_ici + dd
     owns the same minimizers, and the returned arrays are ordered
     slice-major, so row g matches flat row g exactly.
+
+    The mesh's first axis must be SLICE_AXIS (DCN); ALL remaining axes
+    form the intra-slice network -- a (2, 2, 2) (slices, x, y) mesh runs
+    the ICI stage as one all_to_all over the combined (x, y) torus, the
+    layout of a real 2-slice job whose slices are 2-D meshes.
     """
+    axis_names = mesh.axis_names
+    if axis_names[0] != SLICE_AXIS or len(axis_names) < 2:
+        raise ValueError(
+            f"two-level mesh must be (slices, *ici_axes), got {axis_names}"
+        )
+    ici_axes = axis_names[1:]
+    ici_axis = ici_axes[0] if len(ici_axes) == 1 else ici_axes
+    ici_shape = tuple(mesh.shape[a] for a in ici_axes)
     n_slices = mesh.shape[SLICE_AXIS]
-    n_ici = mesh.shape[SHARD_AXIS]
+    n_ici = int(np.prod(ici_shape))
+    n_lead = 1 + len(ici_axes)
     n_total = n_slices * n_ici
     batch, max_len = codes.shape
     rows = batch // n_total
@@ -170,31 +191,33 @@ def sharded_count_two_level(
     # stage 2 packs per-slice blocks out of the <= n_ici*cap1 received
     cap1 = int(np.ceil(n_local / n_ici * slack))
     cap2 = int(np.ceil(n_local / n_slices * slack))
+    lead = (n_slices,) + ici_shape
     offsets = (
         jnp.arange(n_total, dtype=jnp.uint32)[:, None] * jnp.uint32(n_local)
-    ).reshape(n_slices, n_ici, 1)
+    ).reshape(lead + (1,))
 
-    codes2 = codes.reshape(n_slices, n_ici, rows, max_len)
-    lengths2 = lengths.reshape(n_slices, n_ici, rows)
-    rids2 = read_ids.reshape(n_slices, n_ici, rows)
+    codes2 = codes.reshape(lead + (rows, max_len))
+    lengths2 = lengths.reshape(lead + (rows,))
+    rids2 = read_ids.reshape(lead + (rows,))
+    zero = (0,) * n_lead
 
     def body(codes, lengths, rids, offs):
         return _scan_route_2level(
-            codes[0, 0], lengths[0, 0], rids[0, 0], offs[0, 0],
+            codes[zero], lengths[zero], rids[zero], offs[zero],
             k=k, m=m, parity=parity, n_slices=n_slices, n_ici=n_ici,
-            cap1=cap1, cap2=cap2,
+            cap1=cap1, cap2=cap2, ici_axis=ici_axis, n_lead=n_lead,
         )
 
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(SLICE_AXIS, SHARD_AXIS),) * 4,
-        out_specs=P(SLICE_AXIS, SHARD_AXIS),
+        in_specs=(P(*axis_names),) * 4,
+        out_specs=P(*axis_names),
     )
     outs = fn(codes2, lengths2, rids2, offsets)
-    # [S, D, cap] -> [S*D, cap]: slice-major == global shard order
+    # [S, *ici, cap] -> [S*n_ici, cap]: slice-major == global shard order
     m_s, hi_s, lo_s, id_s, st_s, v_s, gs, count, overflow = (
-        x.reshape((n_total,) + x.shape[2:]) for x in outs
+        x.reshape((n_total,) + x.shape[n_lead:]) for x in outs
     )
     keep = gs & v_s & (count > cutoff)
     return shard_count.ShardedCount(
@@ -212,4 +235,22 @@ def two_level_mesh(n_slices: int) -> Mesh:
         )
     return Mesh(
         devs.reshape(n_slices, -1), (SLICE_AXIS, SHARD_AXIS)
+    )
+
+
+def two_level_mesh3(n_slices: int, x: int, y: int) -> Mesh:
+    """(slices, x, y) mesh: DCN axis + a 2-D intra-slice torus.
+
+    The shape of a real multi-slice job whose slices are 2-D ICI meshes
+    (e.g. 2 x (2, 2) = a (2, 2, 2) mesh); sharded_count_two_level runs
+    its ICI stage over the combined (x, y) axes.
+    """
+    devs = np.array(jax.devices())
+    if len(devs) < n_slices * x * y:
+        raise ValueError(
+            f"need {n_slices * x * y} devices, have {len(devs)}"
+        )
+    return Mesh(
+        devs[: n_slices * x * y].reshape(n_slices, x, y),
+        (SLICE_AXIS, "x", "y"),
     )

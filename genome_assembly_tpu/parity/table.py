@@ -60,6 +60,29 @@ def extract_groups(table: CountedTable, *, pruned: bool = True) -> HostTable:
     )
 
 
+def extract_groups_with_streams(
+    table: CountedTable, *, pruned: bool = True
+) -> Tuple[HostTable, List[np.ndarray]]:
+    """extract_groups plus each group's per-occurrence stream indices.
+
+    The stream lane rides the same stable sort as read ids, so
+    streams[g][j] is the flat (read, window) position of read_ids[g][j] --
+    what the non-ACGT exception path (parity/nonacgt.py) needs to map
+    occurrences back to raw read bytes.
+    """
+    stream = np.asarray(table.stream_idx)
+    valid = np.asarray(table.valid)
+    group_start = np.asarray(table.group_start)
+    count = np.asarray(table.count)
+    keep = np.asarray(table.keep)
+    starts = np.flatnonzero(group_start & valid)
+    if pruned:
+        starts = starts[keep[starts]]
+    sizes = count[starts]
+    streams = [stream[s : s + c] for s, c in zip(starts, sizes)]
+    return extract_groups(table, pruned=pruned), streams
+
+
 def decode_table(
     host: HostTable, k: int, m: int
 ) -> Dict[Tuple[str, str], List[int]]:

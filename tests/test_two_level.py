@@ -64,6 +64,31 @@ def test_two_level_equals_flat(n_slices, parity):
     ) == shard_count.sharded_to_host_dict(flat, k, m)
 
 
+def test_two_level_3axis_equals_flat():
+    """(2, 2, 2) (slices, x, y) mesh -- the ICI stage runs one all_to_all
+    over the combined 2-D intra-slice torus -- must be bit-identical to
+    the flat 8-shard router, including dead slots."""
+    assert jax.device_count() == 8
+    codes, lengths, rids = _batch()
+    k, m = 11, 5
+    flat_mesh = Mesh(np.array(jax.devices()), (shard_count.SHARD_AXIS,))
+    flat = shard_count.sharded_count(
+        codes, lengths, rids, k=k, m=m, parity=False, cutoff=1,
+        mesh=flat_mesh,
+    )
+    mesh3 = two_level.two_level_mesh3(2, 2, 2)
+    got = two_level.sharded_count_two_level(
+        codes, lengths, rids, k=k, m=m, parity=False, cutoff=1, mesh=mesh3,
+    )
+    assert int(np.sum(np.asarray(got.overflow))) == 0
+    for f in ("mmer", "kmer_hi", "kmer_lo", "read_id", "stream_idx",
+              "valid", "group_start", "count", "keep"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(flat, f)),
+            err_msg=f,
+        )
+
+
 def test_two_level_replay_groups_equal_flat():
     """Parity replay input (insertion-ordered groups) is identical, so the
     downstream bit-exact extension replay sees no difference at all."""
