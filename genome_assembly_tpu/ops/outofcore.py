@@ -5,10 +5,14 @@ records x 8 B = 23 GB on a 16 GB chip), but the RECORD STREAM is cheap to
 regenerate -- the scan runs at 13.7G windows/s and reads re-stream from
 disk or from the on-device read simulator.  So, KMC-style (PAPERS.md):
 
-  pass g of ceil(P/3):  re-scan every batch once, extracting THREE
-  partitions per scan (a 2-bit partition tag folded into the key lane's
-  spare top bits makes one batch sort lay all three out as contiguous
-  runs), then count each partition entirely in HBM.
+  pass g of ceil(P/G):  re-scan every batch once, extracting a GROUP of G
+  consecutive RANGE partitions per scan (one batch sort keyed on the
+  32-bit partition hash lays any number of consecutive partitions out as
+  contiguous runs), then count each partition entirely in HBM.  G is
+  sized from a staging-memory budget (default 8 GB -> G ~ 7 at the 1 GB
+  per-partition record sizing), so the pass count is
+  ~ total_record_bytes / budget.  The payload-carrying extractors (links,
+  parity) still use the older 2-bit tag-folding scheme (G fixed at 3).
 
 All of a key's duplicates share its hash, so per-partition counts are
 complete and partitions are disjoint: the union of per-partition kept keys
@@ -56,6 +60,100 @@ GROUP = 3  # partitions extracted per scan: the tag rides in the key lane's
 # (a poly-A prefix at k=31) would collide with the SENTINEL encoding;
 # tags 0..2 keep every real composite < 0xC0000000, strictly below any
 # sentinel, so membership tests are unambiguous for every k <= 31.
+# (Payload-carrying extractors below still use this tag-folding scheme;
+# the fast-count path uses the RANGE scheme, whose group width is limited
+# only by staging memory -- see extract_partition_range.)
+
+# Maximum partitions extracted per re-scan pass under the range scheme.
+# Bounds the unrolled slice count in the extraction executable (compile
+# size), not memory; memory picks the actual group width.
+MAX_GROUP = 16
+
+
+def key_partition_range(hi: jnp.ndarray, lo: jnp.ndarray, partitions: int):
+    """RANGE partition id: contiguous slices of the 32-bit mixed hash.
+
+    pid = floor(h_top16 * P / 2^16) -- monotone in the hash, so a group of
+    consecutive partitions is ONE contiguous hash interval and a single
+    hash-keyed sort lays out any number of them as adjacent runs (the
+    tag-folding scheme caps a group at 3 by spare key bits; this scheme's
+    group width is bounded only by staging memory).  uint32-safe for
+    partitions <= 65536 (x64 is disabled).  Balance granularity is the
+    16-bit bucket: partitions own floor/ceil(65536/P) buckets each.
+    """
+    h = (hi * _HASH_A) ^ (lo * _HASH_B)
+    return ((h >> 16) * jnp.uint32(partitions)) >> 16
+
+
+def _range_lower_bound(p, partitions: int):
+    """Smallest 32-bit hash owned by partition p (traced p, uint32 math).
+
+    pid(h) >= p  <=>  (h >> 16) >= ceil(p * 2^16 / P); out-of-range p
+    (>= P, the last group's overhang) maps to the all-ones bound, whose
+    slice can only contain sentinels.
+    """
+    p = p.astype(jnp.uint32)
+    P = jnp.uint32(partitions)
+    bucket = (p * jnp.uint32(65536) + (P - 1)) // P  # ceil, < 2^16 for p < P
+    return jnp.where(p >= P, jnp.uint32(0xFFFFFFFF), bucket << 16)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("partitions", "group_size", "cap_bp")
+)
+def extract_partition_range(
+    hi: jnp.ndarray, lo: jnp.ndarray, group: jnp.ndarray, *,
+    partitions: int, group_size: int, cap_bp: int
+):
+    """Extract partitions [group*group_size, (group+1)*group_size) from one
+    batch under the RANGE scheme.
+
+    The sort key is the 32-bit partition hash itself (one key lane; the two
+    key-value lanes ride as payload), so consecutive partitions come out as
+    adjacent runs regardless of group width -- group_size is a memory
+    decision, not a bit-packing one.  ``group`` is traced: one executable
+    serves every pass.  Returns (hi [G, cap_bp], lo [G, cap_bp],
+    overflows [G]) with non-members masked back to SENTINEL.
+
+    Hash 0xFFFFFFFF is clamped to 0xFFFFFFFE (same pid) so every real
+    record sorts strictly before the sentinel run -- without the clamp a
+    poly-A-suffix key whose hash lands exactly on all-ones could hide
+    behind sentinels past the overflow probe and be dropped silently.
+    """
+    G = group_size
+    h = (hi * _HASH_A) ^ (lo * _HASH_B)
+    keep = hi != SENTINEL
+    comp = jnp.where(keep, jnp.minimum(h, jnp.uint32(0xFFFFFFFE)), SENTINEL)
+    hi_m = jnp.where(keep, hi, SENTINEL)
+    lo_m = jnp.where(keep, lo, SENTINEL)
+    comp_s, hi_s, lo_s = lax.sort((comp, hi_m, lo_m), num_keys=1)
+    n = comp_s.shape[0]
+    p0 = group.astype(jnp.uint32) * jnp.uint32(G)
+    pids = p0 + jnp.arange(G, dtype=jnp.uint32)
+    bounds = jnp.searchsorted(
+        comp_s, _range_lower_bound(pids, partitions), side="left"
+    ).astype(jnp.int32)
+    P = jnp.uint32(partitions)
+
+    def member(comp_v, hi_v, pid):
+        dec = ((comp_v >> 16) * P) >> 16
+        return (dec == pid) & (hi_v != SENTINEL)
+
+    his, los, ovfs = [], [], []
+    for r in range(G):
+        start = jnp.clip(bounds[r], 0, n - cap_bp) if cap_bp <= n else 0
+        chi = lax.dynamic_slice_in_dim(hi_s, start, cap_bp)
+        clo = lax.dynamic_slice_in_dim(lo_s, start, cap_bp)
+        ccomp = lax.dynamic_slice_in_dim(comp_s, start, cap_bp)
+        m = member(ccomp, chi, pids[r])
+        his.append(jnp.where(m, chi, SENTINEL))
+        los.append(jnp.where(m, clo, SENTINEL))
+        probe = jnp.clip(bounds[r] + cap_bp, 0, n - 1)
+        ovfs.append(
+            member(comp_s[probe], hi_s[probe], pids[r])
+            & (bounds[r] + cap_bp < n)
+        )
+    return jnp.stack(his), jnp.stack(los), jnp.stack(ovfs)
 
 
 @functools.partial(jax.jit, static_argnames=("partitions", "cap_bp"))
@@ -451,6 +549,8 @@ class PartitionedCount(NamedTuple):
     n_kept: int
     batch_overflows: int  # nonzero => raise slack
     kept_overflow: bool  # total kept keys exceeded kept_cap (global test)
+    group_size: int = 3  # partitions extracted per re-scan pass (chosen
+    # from the staging budget; passes = ceil(partitions / group_size))
 
 
 def partitioned_count(
@@ -460,22 +560,40 @@ def partitioned_count(
     partitions: int,
     cutoff: int,
     kept_cap: int,
-    slack: float = 1.6,
+    slack: float | None = None,
+    group_size: int | None = None,
+    group_budget_bytes: int = 8 << 30,
     pallas_sort: bool = False,
     checkpoint_dir: str | None = None,
     return_host: bool = False,
 ) -> PartitionedCount:
-    """Count n_batches record batches in ``partitions`` re-scan passes.
+    """Count n_batches record batches in ceil(P/G) re-scan passes.
 
     batch_keys(i) -> (hi, lo) flat uint32 key lanes for batch i (invalid =
-    SENTINEL); called ceil(P/3) times per batch (each re-scan serves a
-    GROUP of 3 partitions), so it should be a cheap jitted regeneration
-    (device read simulation, or a re-streamed file read).
+    SENTINEL); called once per pass per batch, so it should be a cheap
+    jitted regeneration (device read simulation, or a re-streamed file
+    read).  Each pass extracts a GROUP of G consecutive RANGE partitions
+    (extract_partition_range) -- G is a staging-memory decision:
+
+      G = clamp(group_budget_bytes // (n_batches * cap_bp * 8), 1, 16)
+
+    so the pass count is ~ total_record_bytes / group_budget_bytes rather
+    than P/3 (the old tag-folding bound).  ``group_size`` overrides.
+
+    cap_bp (staged slots per batch per partition) is sized statistically
+    by default: mean + 8*sqrt(mean) + 64 over the worst-balanced partition
+    (range buckets are 16-bit granular), which replaces the old flat 1.6x
+    -- at chromosome scale the multiplicative slack was pure staging waste.
+    Pass ``slack`` to force the multiplicative form.  Overflow stays
+    exactly detected (the slice-boundary probe), never silent.
 
     checkpoint_dir: if given, each completed partition's kept keys land in
     ``part_<p>.npz`` there and are skipped on re-run -- a killed
     chromosome-scale job resumes at its last finished pass (the elasticity
     model of SURVEY.md 5.3/5.4: passes are idempotent and independent).
+    Partition contents depend only on (partitions, cutoff, dataset), NOT
+    on G or cap_bp, so checkpoints survive group/staging retuning; a
+    partition saved with recorded overflow is recounted, not reused.
 
     Each partition's kept keys are trimmed to their TRUE count on the host
     before accumulation (no per-partition padding), so hash skew between
@@ -485,10 +603,22 @@ def partitioned_count(
     """
     probe_hi, probe_lo = batch_keys(0)
     batch_slots = int(probe_hi.shape[0])
-    cap_bp = min(
-        batch_slots,
-        int(np.ceil(batch_slots / partitions * slack)) + 1,
-    )
+    if slack is not None:
+        cap_bp = min(
+            batch_slots,
+            int(np.ceil(batch_slots / partitions * slack)) + 1,
+        )
+    else:
+        # worst-balanced partition owns ceil(65536/P) 16-bit hash buckets
+        mean = batch_slots * np.ceil(65536 / partitions) / 65536
+        cap_bp = min(
+            batch_slots, int(np.ceil(mean + 8.0 * np.sqrt(mean))) + 64
+        )
+    if group_size is None:
+        group_size = int(
+            max(1, min(MAX_GROUP, group_budget_bytes // (n_batches * cap_bp * 8)))
+        )
+    group_size = min(group_size, partitions)
 
     ckpt = None
     if checkpoint_dir is not None:
@@ -499,13 +629,14 @@ def partitioned_count(
         ckpt.mkdir(parents=True, exist_ok=True)
         # fingerprint: partition checkpoints are only valid for the exact
         # run parameters (a different partition count remaps every key).
-        # "format": 2 = trimmed per-partition kept arrays (kept_cap no
-        # longer affects partition contents, so it is not fingerprinted).
+        # "format": 3 = range partition scheme; group width and staging
+        # caps do not affect partition contents and are not fingerprinted
+        # (overflowed partitions are recounted on load instead).
         fp = {
-            "format": 2,
+            "format": 3,
+            "scheme": "range16",
             "partitions": partitions,
             "cutoff": cutoff,
-            "slack": slack,
             "n_batches": n_batches,
             "batch_slots": batch_slots,
         }
@@ -519,6 +650,13 @@ def partitioned_count(
                 )
         else:
             meta_path.write_text(json.dumps(fp))
+
+    def part_usable(p):
+        """A checkpoint is reusable only if its pass saw no overflow."""
+        path = ckpt / f"part_{p}.npz"
+        if not path.exists():
+            return False
+        return int(np.load(path)["batch_overflows"]) == 0
 
     def load_part(p):
         saved = np.load(ckpt / f"part_{p}.npz")
@@ -534,15 +672,14 @@ def partitioned_count(
     n_distinct = 0
     n_kept = 0
     batch_overflows = 0
-    n_groups = (partitions + GROUP - 1) // GROUP
+    G = group_size
+    n_groups = (partitions + G - 1) // G
     for g in range(n_groups):
         group_parts = [
-            p for p in range(g * GROUP, min((g + 1) * GROUP, partitions))
+            p for p in range(g * G, min((g + 1) * G, partitions))
         ]
         missing = [
-            p
-            for p in group_parts
-            if ckpt is None or not (ckpt / f"part_{p}.npz").exists()
+            p for p in group_parts if ckpt is None or not part_usable(p)
         ]
         if not missing:
             for p in group_parts:
@@ -554,29 +691,30 @@ def partitioned_count(
                 batch_overflows += bo
             continue
 
-        # one re-scan serves the whole group: GROUP partition runs per
+        # one re-scan serves the whole group: G partition runs per
         # batch sort, accumulated separately
-        pieces_hi = [[] for _ in range(GROUP)]
-        pieces_lo = [[] for _ in range(GROUP)]
+        pieces_hi = [[] for _ in range(G)]
+        pieces_lo = [[] for _ in range(G)]
         # accumulate overflow on device; ONE readback per group (a
         # per-batch int() would stall the relay dispatch pipeline)
-        ovf_dev = jnp.zeros((GROUP,), jnp.int32)
+        ovf_dev = jnp.zeros((G,), jnp.int32)
         for b in range(n_batches):
             hi, lo = batch_keys(b)
-            ghi, glo, ovf = extract_partition_group(
-                hi, lo, jnp.uint32(g), partitions=partitions, cap_bp=cap_bp
+            ghi, glo, ovf = extract_partition_range(
+                hi, lo, jnp.uint32(g),
+                partitions=partitions, group_size=G, cap_bp=cap_bp,
             )
-            for r in range(GROUP):
+            for r in range(G):
                 pieces_hi[r].append(ghi[r])
                 pieces_lo[r].append(glo[r])
             ovf_dev = ovf_dev + ovf.astype(jnp.int32)
         group_overflows = np.asarray(ovf_dev)
 
-        for r in range(GROUP):
-            p = g * GROUP + r
+        for r in range(G):
+            p = g * G + r
             if p >= partitions:
                 continue
-            if ckpt is not None and (ckpt / f"part_{p}.npz").exists():
+            if ckpt is not None and part_usable(p):
                 khi, klo, nd, nk, bo = load_part(p)
                 khi_parts.append(khi)
                 klo_parts.append(klo)
@@ -639,4 +777,5 @@ def partitioned_count(
         n_kept=n_kept,
         batch_overflows=batch_overflows,
         kept_overflow=n_kept > kept_cap,
+        group_size=G,
     )

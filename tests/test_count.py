@@ -203,3 +203,195 @@ def test_extract_partition_group_polyA_edge():
                     (int(x), int(y)) for x, y in zip(a, b) if x != 0xFFFFFFFF
                 )
         assert sorted(got) == want, partitions
+
+
+def test_extract_partition_range_exhaustive():
+    """Range extraction (ops/outofcore.extract_partition_range): the union
+    over groups equals the real input multiset for several (partitions,
+    group_size) shapes, including a key whose 32-bit partition hash is
+    exactly 0xFFFFFFFF (the sentinel-adjacent clamp case) and max-hi keys."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import outofcore
+
+    rng = np.random.default_rng(41)
+    n = 512
+    hi = rng.integers(0, 1 << 30, n).astype(np.uint32)
+    lo = rng.integers(0, 1 << 32, n).astype(np.uint32)
+    hi[:5] = 0x3FFFFFFF
+    # hash((0, 4050964655)) == 0xFFFFFFFF: without the 0xFFFFFFFE clamp
+    # this record could interleave with the sentinel run and be dropped
+    hi[5], lo[5] = 0, 4050964655
+    hi[6], lo[6] = 0, 4050964655  # and its duplicate
+    hi[40:80] = 0xFFFFFFFF  # invalid/padding slots
+    want = sorted(
+        (int(a), int(b)) for a, b in zip(hi, lo) if a != 0xFFFFFFFF
+    )
+    for partitions, group_size in ((1, 1), (4, 4), (5, 2), (7, 16), (64, 5)):
+        got = []
+        groups = (partitions + group_size - 1) // group_size
+        for g in range(groups):
+            ghi, glo, ovf = outofcore.extract_partition_range(
+                jnp.asarray(hi), jnp.asarray(lo), jnp.uint32(g),
+                partitions=partitions, group_size=group_size, cap_bp=n,
+            )
+            assert not bool(np.any(np.asarray(ovf)))
+            for r in range(group_size):
+                a = np.asarray(ghi[r])
+                b = np.asarray(glo[r])
+                got.extend(
+                    (int(x), int(y)) for x, y in zip(a, b) if x != 0xFFFFFFFF
+                )
+        assert sorted(got) == want, (partitions, group_size)
+
+
+def test_extract_partition_range_overflow_detected():
+    """A cap smaller than a partition's true share must raise the overflow
+    flag for exactly the partitions that overflow (never silent loss)."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import outofcore
+
+    rng = np.random.default_rng(43)
+    n = 4096
+    hi = rng.integers(0, 1 << 30, n).astype(np.uint32)
+    lo = rng.integers(0, 1 << 32, n).astype(np.uint32)
+    partitions, group_size = 4, 4
+    pid = np.asarray(outofcore.key_partition_range(
+        jnp.asarray(hi), jnp.asarray(lo), partitions))
+    sizes = np.bincount(pid, minlength=partitions)
+    cap = int(sizes.max()) - 7  # guarantee at least the largest overflows
+    ghi, glo, ovf = outofcore.extract_partition_range(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.uint32(0),
+        partitions=partitions, group_size=group_size, cap_bp=cap,
+    )
+    ovf = np.asarray(ovf)
+    for r in range(partitions):
+        assert bool(ovf[r]) == (sizes[r] > cap), (r, sizes[r], cap)
+        kept = int(np.sum(np.asarray(ghi[r]) != 0xFFFFFFFF))
+        assert kept == min(sizes[r], cap)
+
+
+def test_partitioned_count_group_sizes_match_direct():
+    """partitioned_count is invariant to group width and staging sizing:
+    every (group_size, partitions) combination returns the same kept key
+    set as the in-core count (statistical cap sizing, slack=None)."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import count as count_ops
+    from genome_assembly_tpu.ops import minimizer, outofcore
+
+    k, m, cutoff = 15, 7, 1
+    rng = np.random.default_rng(47)
+    genome = rng.integers(0, 4, size=3000, dtype=np.uint8)
+    n_batches, batch, L = 4, 48, 64
+    starts = rng.integers(0, len(genome) - L, size=(n_batches, batch))
+
+    def batch_keys(b):
+        codes = np.stack([genome[s : s + L] for s in starts[b]])
+        recs = minimizer.fast_scan(
+            jnp.asarray(codes), jnp.full((batch,), L, jnp.int32), k=k, m=m
+        )
+        sent = jnp.uint32(0xFFFFFFFF)
+        return (
+            jnp.where(recs.valid, recs.kmer_hi, sent).reshape(-1),
+            jnp.where(recs.valid, recs.kmer_lo, sent).reshape(-1),
+        )
+
+    hi = jnp.concatenate([batch_keys(b)[0] for b in range(n_batches)])
+    lo = jnp.concatenate([batch_keys(b)[1] for b in range(n_batches)])
+    recs = minimizer.WindowRecords(
+        mmer=jnp.zeros((0,), jnp.uint32), kmer_hi=hi, kmer_lo=lo,
+        valid=hi != jnp.uint32(0xFFFFFFFF),
+    )
+    kc = count_ops.count_keys(recs, cutoff=cutoff)
+    khi, klo, valid = count_ops.kept_keys_sorted(kc)
+    want = {
+        (int(a), int(b))
+        for a, b, v in zip(np.asarray(khi), np.asarray(klo), np.asarray(valid))
+        if v
+    }
+    want_counts = (
+        int(np.sum(np.asarray(kc.group_start & kc.valid))),
+        int(np.sum(np.asarray(kc.keep))),
+    )
+    for partitions, group_size in ((5, 1), (5, 4), (16, 16), (9, None)):
+        pc = outofcore.partitioned_count(
+            batch_keys, n_batches, partitions=partitions, cutoff=cutoff,
+            kept_cap=65536, group_size=group_size,
+        )
+        assert pc.batch_overflows == 0 and not pc.kept_overflow
+        assert (pc.n_distinct, pc.n_kept) == want_counts
+        got = {
+            (int(a), int(b))
+            for a, b, v in zip(
+                np.asarray(pc.kmer_hi), np.asarray(pc.kmer_lo),
+                np.asarray(pc.valid),
+            )
+            if v
+        }
+        assert got == want, (partitions, group_size)
+
+
+def test_partitioned_count_resume_across_group_retune(tmp_path):
+    """Partition checkpoints depend only on (partitions, cutoff, dataset):
+    a resume with a DIFFERENT group width reuses them (only the shape probe
+    re-runs), and a partition saved with recorded overflow is recounted."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import minimizer, outofcore
+
+    k, m = 15, 7
+    rng = np.random.default_rng(53)
+    genome = rng.integers(0, 4, size=1500, dtype=np.uint8)
+    starts = rng.integers(0, len(genome) - 64, size=(2, 32))
+    calls = []
+
+    def batch_keys(b):
+        calls.append(b)
+        codes = np.stack([genome[s : s + 64] for s in starts[b]])
+        recs = minimizer.fast_scan(
+            jnp.asarray(codes), jnp.full((32,), 64, jnp.int32), k=k, m=m
+        )
+        sent = jnp.uint32(0xFFFFFFFF)
+        return (
+            jnp.where(recs.valid, recs.kmer_hi, sent).reshape(-1),
+            jnp.where(recs.valid, recs.kmer_lo, sent).reshape(-1),
+        )
+
+    kw = dict(partitions=6, cutoff=0, kept_cap=8192,
+              checkpoint_dir=str(tmp_path))
+    a = outofcore.partitioned_count(batch_keys, 2, group_size=2, **kw)
+    assert a.batch_overflows == 0
+    calls.clear()
+    b = outofcore.partitioned_count(batch_keys, 2, group_size=5, **kw)
+    assert calls == [0]  # group retune: every partition still resumed
+    assert (a.n_distinct, a.n_kept) == (b.n_distinct, b.n_kept)
+    got_a = sorted(zip(np.asarray(a.kmer_hi).tolist(),
+                       np.asarray(a.kmer_lo).tolist()))
+    got_b = sorted(zip(np.asarray(b.kmer_hi).tolist(),
+                       np.asarray(b.kmer_lo).tolist()))
+    assert got_a == got_b
+
+    # force an overflow into one partition's checkpoint, then resume with
+    # sane caps: the poisoned partition must be recounted, not reused
+    import shutil
+
+    poisoned = tmp_path / "poison"
+    poisoned.mkdir()
+    shutil.copy(tmp_path / "meta.json", poisoned / "meta.json")
+    c = outofcore.partitioned_count(
+        batch_keys, 2, slack=0.05, group_size=3,
+        partitions=6, cutoff=0, kept_cap=8192,
+        checkpoint_dir=str(poisoned),
+    )
+    assert c.batch_overflows > 0  # tiny caps overflowed somewhere
+    calls.clear()
+    d = outofcore.partitioned_count(
+        batch_keys, 2, group_size=3,
+        partitions=6, cutoff=0, kept_cap=8192,
+        checkpoint_dir=str(poisoned),
+    )
+    assert d.batch_overflows == 0
+    assert len(calls) > 1  # overflowed partitions really re-ran
+    assert (d.n_distinct, d.n_kept) == (a.n_distinct, a.n_kept)

@@ -72,6 +72,14 @@ def main() -> int:
         "counts one key-hash partition fully on device (ops/outofcore.py)",
     )
     ap.add_argument(
+        "--group-budget-gb",
+        type=float,
+        default=8.0,
+        help="device staging budget (GB) for out-of-core partition groups; "
+        "sets how many partitions each re-scan pass extracts "
+        "(ops/outofcore.partitioned_count group sizing)",
+    )
+    ap.add_argument(
         "--pallas-sort",
         action="store_true",
         help="count with the hybrid XLA-chunk + Pallas-merge sort "
@@ -241,6 +249,7 @@ def main() -> int:
             partitions=partitions,
             cutoff=CUTOFF,
             kept_cap=kept_cap,
+            group_budget_bytes=int(args.group_budget_gb * (1 << 30)),
             pallas_sort=args.pallas_sort,
             checkpoint_dir=args.checkpoint_dir or None,
             return_host=args.park_keys,
@@ -250,6 +259,7 @@ def main() -> int:
         khi, klo, valid = pc.kmer_hi, pc.kmer_lo, pc.valid
         kept_cap = khi.shape[0]
         n_distinct, n_kept = pc.n_distinct, pc.n_kept
+        group_size = pc.group_size
         pc = None  # the NamedTuple aliases the key arrays; drop it so
         # del khi/klo in the extension branch actually frees device HBM
         # out-of-core interleaves re-scan and count passes, so the split
@@ -265,7 +275,8 @@ def main() -> int:
             kmers_scanned_and_counted_per_s=round(total_slots / count_wall, 1),
             distinct=n_distinct,
             kept=n_kept,
-            passes=partitions,
+            group_size=group_size,
+            passes=-(-partitions // group_size),
         )
     else:
         t0 = time.perf_counter()
