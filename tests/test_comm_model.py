@@ -118,3 +118,26 @@ def test_two_level_split_counts(batch):
     # aggregation: two-level sends one DCN message per (slice pair,
     # column); flat sends one per cross-slice device pair -- n_ici x more
     assert out["dcn_messages_flat"] == n_ici * out["dcn_messages_two_level"]
+
+
+def test_pipeline_model_band():
+    """pipeline_model interpolates the phase_model band: B=1 equals the
+    serial bound, large B converges to the overlap bound, and efficiency
+    is monotone in B."""
+    import numpy as np
+
+    from genome_assembly_tpu.parallel import comm_model
+
+    rng = np.random.default_rng(3)
+    n = 16
+    mat = rng.integers(1000, 2000, (n, n)).astype(np.int64)
+    kw = dict(bytes_per_record=20, records_per_s=5e8)
+    base = comm_model.phase_model(mat, **kw)
+    p1 = comm_model.pipeline_model(mat, n_batches=1, **kw)
+    assert abs(p1["eff_pipelined"] - base["eff_serial"]) < 1e-12
+    prev = 0.0
+    for b in (1, 2, 4, 16, 64, 1024):
+        pb = comm_model.pipeline_model(mat, n_batches=b, **kw)
+        assert pb["eff_pipelined"] >= prev - 1e-12
+        prev = pb["eff_pipelined"]
+    assert abs(prev - base["eff_overlap"]) < 0.05 * base["eff_overlap"]

@@ -365,3 +365,106 @@ def test_ragged_routing_capacity_clamp(mesh8):
         routing="ragged",
     )
     assert int(np.sum(np.asarray(sc.overflow))) > 0
+
+
+@pytest.mark.parametrize("routing", ["padded", "ragged"])
+def test_sharded_count_batches_pipelined_equals_unpipelined(mesh8, routing):
+    """The software-pipelined multi-batch stream (exchange batch i-1 inside
+    the same program that scans batch i) is bit-identical to the serial
+    form -- same ops, different program boundaries."""
+    k, m, cutoff = 11, 5, 1
+    _, reads, _ = datagen.generate_coverage_reads(
+        genome_len=900, read_len=48, coverage=6, seed=9, with_reverse=True
+    )
+    rows = 24  # 3 batches of 24 rows over 8 shards
+    batches = [
+        reads_io.pad_batch(b, rows)
+        for b in reads_io.batch_reads(reads, 64, rows)
+    ]
+    assert len(batches) >= 3
+    results = {}
+    for pipelined in (False, True):
+        sc = shard_count.sharded_count_batches(
+            batches, k=k, m=m, parity=False, cutoff=cutoff, mesh=mesh8,
+            routing=routing, pipelined=pipelined,
+        )
+        assert int(np.sum(np.asarray(sc.overflow))) == 0
+        results[pipelined] = sc
+    for lane in type(results[True])._fields:
+        a = np.asarray(getattr(results[True], lane))
+        b = np.asarray(getattr(results[False], lane))
+        assert np.array_equal(a, b), lane
+
+
+def test_pipelined_exchange_is_scan_independent(mesh8):
+    """Overlap is structural, not hoped-for: inside the fused
+    exchange+bucketize program, the all_to_all's operands must not depend
+    on the current batch's inputs -- XLA is then free to run the
+    collective asynchronously under the scan.  Checked on the jaxpr's
+    dependence closure (observable on any backend)."""
+    k, m = 11, 5
+    n_shards = 8
+    rows, max_len = 24, 64
+    n_local = (rows // n_shards) * (max_len - k + 1)
+    cap = shard_count._routing_cap(n_local, n_shards, 4.0, "padded")
+    codes = jnp.zeros((rows, max_len), jnp.uint8)
+    lengths = jnp.full((rows,), max_len, jnp.int32)
+    rids = jnp.zeros((rows,), jnp.uint32)
+    offsets = jnp.zeros((n_shards, 1), jnp.uint32)
+    staged = shard_count._bucketize_batch(
+        codes, lengths, rids, offsets,
+        k=k, m=m, parity=False, mesh=mesh8, slack=4.0, routing="padded",
+    )
+    jaxpr = jax.make_jaxpr(
+        lambda s, c, le, r, o: shard_count._exchange_and_bucketize_batch(
+            s, c, le, r, o, k=k, m=m, parity=False, mesh=mesh8, slack=4.0,
+            routing="padded",
+        )
+    )(staged, codes, lengths, rids, offsets)
+
+    import jax.extend.core as jex_core
+
+    # taint-propagate from the BATCH inputs (positions 6..9: codes,
+    # lengths, rids, offsets -- staged occupies the first 6 vars) through
+    # every eqn, descending into inner jaxprs via their invar mapping
+    def check(jaxpr, tainted):
+        hits = []
+
+        def var_tainted(v):
+            return not isinstance(v, jex_core.Literal) and v in tainted
+
+        for eqn in jaxpr.eqns:
+            any_taint = any(var_tainted(v) for v in eqn.invars)
+            inner = [
+                v for key, v in eqn.params.items()
+                if key in ("jaxpr", "call_jaxpr")
+            ]
+            if inner and any(
+                isinstance(x, (jex_core.Jaxpr, jex_core.ClosedJaxpr))
+                for x in inner
+            ):
+                for sub in inner:
+                    sub_j = sub.jaxpr if hasattr(sub, "jaxpr") else sub
+                    sub_taint = {
+                        iv
+                        for iv, ov in zip(sub_j.invars, eqn.invars)
+                        if var_tainted(ov)
+                    }
+                    sub_hits, sub_out_taint = check(sub_j, sub_taint)
+                    hits.extend(sub_hits)
+                    for ov, sub_ov in zip(eqn.outvars, sub_j.outvars):
+                        if (not isinstance(sub_ov, jex_core.Literal)
+                                and sub_ov in sub_out_taint):
+                            tainted.add(ov)
+                    continue
+            if "all_to_all" in str(eqn.primitive) and any_taint:
+                hits.append(eqn)
+            if any_taint:
+                tainted.update(eqn.outvars)
+        return hits, tainted
+
+    flat_in = jaxpr.jaxpr.invars
+    assert len(flat_in) == 10, len(flat_in)  # 6 staged lanes + 4 batch args
+    tainted = set(flat_in[6:])
+    hits, _ = check(jaxpr.jaxpr, tainted)
+    assert hits == [], "all_to_all depends on the current batch's scan"

@@ -36,13 +36,20 @@ def main() -> int:
     ap.add_argument("--time", action="store_true",
                     help="also time sharded_count on the available mesh "
                     "(only meaningful on a real multi-chip slice)")
+    ap.add_argument("--batches", type=int, default=8,
+                    help="batch count for the pipelined-count model (and "
+                    "for --time's pipelined vs serial comparison)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="with --time: time on the virtual CPU mesh instead "
+                    "of the TPU relay (set XLA_FLAGS=--xla_force_host_"
+                    "platform_device_count=N first for an N-device mesh)")
     args = ap.parse_args()
 
     import jax
 
     # the model itself is backend-independent; run it on CPU so it never
     # queues behind TPU work (sitecustomize force-registers the relay)
-    if not args.time:
+    if not args.time or args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
@@ -93,6 +100,15 @@ def main() -> int:
             cmat, bytes_per_record=4 * count_lanes,
             records_per_s=hw.count_records_per_s, hw=hw,
         )
+        count_pipe = comm_model.pipeline_model(
+            cmat, n_batches=args.batches, bytes_per_record=4 * count_lanes,
+            records_per_s=hw.count_records_per_s, hw=hw,
+        )
+        count_phase = {
+            **count_phase,
+            "n_batches": args.batches,
+            "eff_pipelined": count_pipe["eff_pipelined"],
+        }
         link_phase = comm_model.phase_model(
             lmat, bytes_per_record=4 * link_lanes,
             records_per_s=hw.link_records_per_s, hw=hw,
@@ -143,6 +159,45 @@ def main() -> int:
             "note": "compare against count.t_compute_s + t_comm_s above "
                     "on a real slice",
         }))
+
+        # pipelined vs serial multi-batch stream: the real-slice check of
+        # the eff_pipelined prediction (one command, two numbers)
+        class _B:
+            def __init__(self, codes, lengths, read_ids):
+                self.codes, self.lengths, self.read_ids = (
+                    codes, lengths, read_ids)
+
+        B = args.batches
+        rows = args.reads // B
+        rows -= rows % n
+        if rows:
+            batches = [
+                _B(codes[i * rows:(i + 1) * rows],
+                   lengths[i * rows:(i + 1) * rows],
+                   np.arange(i * rows, (i + 1) * rows, dtype=np.uint32))
+                for i in range(B)
+            ]
+            walls = {}
+            for pipelined in (False, True):
+                best = None
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    sc = shard_count.sharded_count_batches(
+                        batches, k=args.k, m=args.m, parity=args.parity,
+                        cutoff=1, mesh=mesh, pipelined=pipelined,
+                    )
+                    float(jnp.sum(sc.keep))  # hard sync
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                walls["pipelined" if pipelined else "serial"] = round(best, 4)
+            print(json.dumps({
+                "timed_shards": n, "n_batches": B, **walls,
+                "overlap_gain": round(
+                    walls["serial"] / max(walls["pipelined"], 1e-9), 4),
+                "note": "on a real slice overlap_gain -> "
+                        "(t_comp+t_comm)/max(t_comp,t_comm); on shared-core "
+                        "virtual meshes it is ~1 by construction",
+            }))
     return 0
 
 
