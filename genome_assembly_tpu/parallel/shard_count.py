@@ -33,7 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from genome_assembly_tpu.ops import minimizer as minimizer_ops
 from genome_assembly_tpu.ops.count import SENTINEL, group_counts
@@ -508,6 +508,8 @@ def sharded_count_batches(
     slack: float = 4.0,
     routing: str = "padded",
     pipelined: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> ShardedCount:
     """Distributed count over MULTIPLE read batches (any total size).
 
@@ -524,6 +526,15 @@ def sharded_count_batches(
     bit-identical to the unpipelined form -- the same ops run, split
     differently across programs; only the wall-clock overlap changes.
 
+    checkpoint_dir: per-shard resumable checkpoints of the accumulated
+    routed records (utils/checkpoint.save_count_shards), written every
+    ``checkpoint_every`` exchanged batches.  A killed run -- including
+    any process of a multi-process run -- resumes at the last committed
+    batch, even on a DIFFERENT mesh shape or process count (records are
+    re-routed by the same ownership hash on load).  Each save syncs the
+    accumulated lanes to host, so raise checkpoint_every when the relay's
+    readback tax matters.
+
     batches: sequence of reads_io.ReadBatch, all padded to the same row
     count (divisible by the mesh size); read_ids must be globally
     consecutive across batches (reads_io.batch_reads does this).
@@ -535,9 +546,12 @@ def sharded_count_batches(
     n_local = None
     staged = None
     cap = None
+    start_batch = 0
+    done = 0
+    ckpt_meta = None
 
     def accumulate(routed):
-        nonlocal received
+        nonlocal received, done
         ovf = routed[5].reshape(n_shards, 1).astype(jnp.int32)
         lanes = routed[:5] + (ovf,)
         if received is None:
@@ -547,17 +561,47 @@ def sharded_count_batches(
                 jnp.concatenate([acc, new], axis=1)
                 for acc, new in zip(received, lanes)
             ]
+        done += 1
+
+    def maybe_save(force=False):
+        if checkpoint_dir is None or received is None or done <= start_batch:
+            return
+        if force or (done - start_batch) % max(checkpoint_every, 1) == 0:
+            from genome_assembly_tpu.utils import checkpoint as ckpt_ops
+
+            ckpt_ops.save_count_shards(
+                checkpoint_dir, received, done, ckpt_meta
+            )
 
     for bi, b in enumerate(batches):
-        codes = jnp.asarray(b.codes)
-        lengths = jnp.asarray(b.lengths)
-        rids = jnp.asarray(b.read_ids)
-        batch_rows, max_len = codes.shape
+        batch_rows, max_len = b.codes.shape
         rows = batch_rows // n_shards
         n_win = max_len - k + 1
         if n_local is None:
             n_local = rows * n_win
             cap = _routing_cap(n_local, n_shards, slack, routing)
+            if checkpoint_dir is not None:
+                from genome_assembly_tpu.utils import checkpoint as ckpt_ops
+
+                ckpt_meta = {
+                    "k": k, "m": m, "parity": parity,
+                    "batch_rows": batch_rows, "max_len": max_len,
+                }
+                loaded = ckpt_ops.load_count_shards(
+                    checkpoint_dir, n_shards=n_shards, expect=ckpt_meta
+                )
+                if loaded is not None:
+                    host_lanes, start_batch = loaded
+                    sharding = NamedSharding(mesh, P(SHARD_AXIS))
+                    received = [
+                        jax.device_put(lane, sharding) for lane in host_lanes
+                    ]
+                    done = start_batch
+        if bi < start_batch:
+            continue  # this batch's records are already in `received`
+        codes = jnp.asarray(b.codes)
+        lengths = jnp.asarray(b.lengths)
+        rids = jnp.asarray(b.read_ids)
         # global stream order: batch-major, then shard, then local slot
         offsets = (
             jnp.arange(n_shards, dtype=jnp.uint32)[:, None] * jnp.uint32(n_local)
@@ -569,6 +613,7 @@ def sharded_count_batches(
                 k=k, m=m, parity=parity, mesh=mesh, slack=slack,
                 routing=routing,
             ))
+            maybe_save()
         elif staged is None:
             staged = _bucketize_batch(
                 codes, lengths, rids, offsets,
@@ -582,10 +627,12 @@ def sharded_count_batches(
                 routing=routing,
             )
             accumulate(routed)
+            maybe_save()
     if staged is not None:  # drain the one-batch pipeline delay
         accumulate(_exchange_batch(staged, mesh=mesh, cap=cap, routing=routing))
     if received is None:
         raise ValueError("no batches")
+    maybe_save(force=True)
     return _count_received(*received, cutoff=cutoff, mesh=mesh)
 
 

@@ -112,6 +112,139 @@ def clear_jump_frontier(dirpath: str, lanes: int) -> None:
             p.unlink()
 
 
+SHARDED_FORMAT = 1
+_SHARD_LANES = ("mmer", "khi", "klo", "rid", "stream")
+
+
+def save_count_shards(
+    dirpath: str, received, batches_done: int, meta: dict
+) -> None:
+    """Checkpoint a distributed count's accumulated routed records.
+
+    received: the 6 globally-sharded [n_shards, R] lanes
+    (mmer, khi, klo, rid, stream, overflow) that
+    ``shard_count.sharded_count_batches`` accumulates.  Each PROCESS
+    writes one ``shard_<g>.npz`` per global shard row it addresses
+    (valid records compacted -- the counting sort is order-invariant, so
+    only real rows need to survive), then process 0 commits the manifest.
+    The manifest is the commit point: a kill mid-save leaves the previous
+    manifest intact and the orphan shard files are overwritten next save.
+
+    Mesh-shape independence: the files are keyed by GLOBAL shard index
+    and the manifest records n_shards; ``load_count_shards`` re-routes
+    records host-side when resuming onto a different shard count, so a
+    checkpoint taken on 2 processes x 4 devices restores onto 1 x 8,
+    8 x 1, or a different mesh entirely.  (Per SURVEY.md 5.4; replaces
+    the gather-to-one-host npz for multi-host runs -- each process only
+    ever touches its own shards' bytes.)
+    """
+    import jax
+    import json as _json
+
+    d = pathlib.Path(dirpath)
+    d.mkdir(parents=True, exist_ok=True)
+    lanes = list(received[:5])
+    ovf = received[5]
+    per_shard: dict[int, dict] = {}
+    for name, arr in zip(_SHARD_LANES, lanes):
+        for s in arr.addressable_shards:
+            g = int(s.index[0].start or 0)
+            per_shard.setdefault(g, {})[name] = np.asarray(s.data)[0]
+    for s in ovf.addressable_shards:
+        g = int(s.index[0].start or 0)
+        per_shard.setdefault(g, {})["ovf"] = np.asarray(s.data)[0]
+    sent = np.uint32(0xFFFFFFFF)
+    for g, got in per_shard.items():
+        keep = got["mmer"] != sent
+        payload = {name: got[name][keep] for name in _SHARD_LANES}
+        payload["ovf"] = np.int64(got["ovf"].sum())
+        tmp = d / f".shard_{g}.tmp.npz"
+        np.savez(tmp, **payload)
+        tmp.rename(d / f"shard_{g}.npz")
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils as mhu
+
+        # every process's shard files must exist before the manifest
+        # commits the checkpoint
+        mhu.sync_global_devices("ga_tpu_count_ckpt")
+    if jax.process_index() == 0:
+        manifest = {
+            "format": SHARDED_FORMAT,
+            "n_shards": int(lanes[0].shape[0]),
+            "batches_done": int(batches_done),
+            **meta,
+        }
+        tmp = d / ".manifest.tmp.json"
+        tmp.write_text(_json.dumps(manifest))
+        tmp.rename(d / "manifest.json")
+
+
+def load_count_shards(dirpath: str, *, n_shards: int, expect: dict):
+    """Restore a distributed count checkpoint for an ``n_shards`` mesh.
+
+    Returns (lanes, batches_done) where lanes are 6 host numpy arrays
+    [n_shards, R] (records sentinel-padded per row) ready to device_put
+    with the mesh's shard sharding -- or None when no manifest exists.
+    ``expect`` entries (k, m, parity, row geometry) must match the
+    manifest; a mismatch raises instead of silently resuming the wrong
+    run.  When the saved shard count differs, every record is re-routed
+    host-side by the same ownership hash the live router uses
+    (mesh-shape-independent resume); overflow totals are preserved.
+    """
+    import json as _json
+
+    from genome_assembly_tpu.parallel.shard_count import owner_of
+
+    d = pathlib.Path(dirpath)
+    mpath = d / "manifest.json"
+    if not mpath.exists():
+        return None
+    manifest = _json.loads(mpath.read_text())
+    if manifest["format"] != SHARDED_FORMAT:
+        raise ValueError(f"unsupported sharded checkpoint {manifest}")
+    for key, val in expect.items():
+        if manifest.get(key) != val:
+            raise ValueError(
+                f"checkpoint {d} was written by a different run: "
+                f"{key}={manifest.get(key)!r} != {val!r}"
+            )
+    saved_shards = manifest["n_shards"]
+    parts = []
+    ovf_total = 0
+    for g in range(saved_shards):
+        data = np.load(d / f"shard_{g}.npz")
+        parts.append({name: data[name] for name in _SHARD_LANES})
+        ovf_total += int(data["ovf"])
+    sent = np.uint32(0xFFFFFFFF)
+    if saved_shards == n_shards:
+        rows = parts
+    else:
+        cat = {
+            name: np.concatenate([p[name] for p in parts])
+            for name in _SHARD_LANES
+        }
+        import jax.numpy as jnp
+
+        owner = np.asarray(owner_of(jnp.asarray(cat["mmer"]), n_shards))
+        rows = [
+            {name: cat[name][owner == g] for name in _SHARD_LANES}
+            for g in range(n_shards)
+        ]
+    width = max(1, max(r["mmer"].shape[0] for r in rows))
+    lanes = []
+    fills = {"mmer": sent, "khi": 0, "klo": 0, "rid": 0,
+             "stream": np.uint32(0xFFFFFFFF)}
+    for name in _SHARD_LANES:
+        buf = np.full((n_shards, width), fills[name], dtype=np.uint32)
+        for g, r in enumerate(rows):
+            buf[g, : r[name].shape[0]] = r[name]
+        lanes.append(buf)
+    ovf = np.zeros((n_shards, 1), dtype=np.int32)
+    ovf[0, 0] = ovf_total
+    lanes.append(ovf)
+    return lanes, int(manifest["batches_done"])
+
+
 def load_counted_table(path: str) -> Tuple[CountedTable, PipelineConfig, str]:
     """Restore a counted table; returns (table, config, phase)."""
     p = pathlib.Path(path)

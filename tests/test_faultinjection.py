@@ -194,3 +194,90 @@ def test_scale_runner_sigkill_and_resume(tmp_path):
     ev_f = _events(fresh.stdout)["scan_and_count"]
     assert ev_r["distinct"] == ev_f["distinct"]
     assert ev_r["kept"] == ev_f["kept"]
+
+
+def test_multihost_sharded_checkpoint_kill_and_resume(tmp_path):
+    """VERDICT round-2 item 6: SIGKILL a 2-process gloo distributed count
+    mid-run; the per-shard checkpoint + manifest must let a fresh 2-process
+    launch resume at the committed batch and finish with the exact result
+    of an uninterrupted run."""
+    import hashlib
+    import json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    tool = repo / "tools/run_multihost_ckpt.py"
+    ckpt = tmp_path / "ck"
+    ckpt.mkdir()
+    out = tmp_path / "mh.json"
+
+    def free_port():
+        with socket.socket() as sock:
+            sock.bind(("127.0.0.1", 0))
+            return sock.getsockname()[1]
+
+    def launch(env_extra):
+        env = {
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "GA_TPU_MH_PORT": str(free_port()),
+            **env_extra,
+        }
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, str(tool), str(pid), "2",
+                 str(out if pid == 0 else "/dev/null"), str(ckpt)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for pid in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                outs.append(p.communicate(timeout=300)[0].decode())
+            except subprocess.TimeoutExpired:
+                p.kill()  # exact child PID: a survivor hung on the dead
+                outs.append(p.communicate()[0].decode())  # peer's collective
+        return procs, outs
+
+    # run 1: both processes SIGKILL themselves after committing batch 2
+    procs, logs = launch({"GA_TPU_DIE_AFTER_BATCH": "2"})
+    assert all(p.returncode != 0 for p in procs), logs
+    manifest = json.loads((ckpt / "manifest.json").read_text())
+    assert manifest["batches_done"] == 2
+    assert manifest["n_shards"] == 8
+
+    # run 2: fresh processes, same checkpoint dir -> resume and finish
+    procs, logs = launch({})
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-2000:]
+    got = json.loads(out.read_text())
+    assert got["resumed_from"] == 2
+    assert got["overflow"] == 0
+    assert got["n_batches"] > 2
+
+    # reference: same data counted in-process on this process's 8 devices
+    import jax
+    import numpy as np
+
+    from genome_assembly_tpu.io import datagen, reads as reads_io
+    from genome_assembly_tpu.parallel import mesh as mesh_lib, shard_count
+
+    assert jax.device_count() >= 8
+    mesh = mesh_lib.make_mesh(8)
+    _, reads, _ = datagen.generate_coverage_reads(
+        genome_len=900, read_len=48, coverage=6, seed=33, with_reverse=True
+    )
+    batches = [
+        reads_io.pad_batch(b, 24) for b in reads_io.batch_reads(reads, 64, 24)
+    ]
+    sc = shard_count.sharded_count_batches(
+        batches, k=11, m=5, parity=False, cutoff=1, mesh=mesh
+    )
+    table = shard_count.sharded_to_host_dict(sc, 11, 5)
+    canon = sorted((mm, kk, len(v)) for (mm, kk), v in table.items())
+    digest = hashlib.sha256(json.dumps(canon).encode()).hexdigest()
+    assert got["entries"] == len(table)
+    assert got["digest"] == digest

@@ -468,3 +468,80 @@ def test_pipelined_exchange_is_scan_independent(mesh8):
     tainted = set(flat_in[6:])
     hits, _ = check(jaxpr.jaxpr, tainted)
     assert hits == [], "all_to_all depends on the current batch's scan"
+
+
+def test_sharded_count_batches_checkpoint_resume(tmp_path, mesh8):
+    """Sharded checkpoint (utils/checkpoint.save_count_shards): a partial
+    run's per-shard files + manifest resume into (a) the same mesh without
+    re-routing finished batches and (b) a DIFFERENT shard count, where
+    records re-route host-side by the ownership hash.  Final tables equal
+    the uncheckpointed runs exactly."""
+    k, m, cutoff = 11, 5, 1
+    _, reads, _ = datagen.generate_coverage_reads(
+        genome_len=900, read_len=48, coverage=6, seed=33, with_reverse=True
+    )
+    rows = 24
+    batches = [
+        reads_io.pad_batch(b, rows)
+        for b in reads_io.batch_reads(reads, 64, rows)
+    ]
+    assert len(batches) >= 4
+    kw = dict(k=k, m=m, parity=False, cutoff=cutoff, mesh=mesh8)
+    want = shard_count.sharded_count_batches(batches, **kw)
+    want_dict = shard_count.sharded_to_host_dict(want, k, m)
+
+    # partial run: only the first 2 batches, checkpointed
+    ckpt = str(tmp_path / "ck")
+    shard_count.sharded_count_batches(
+        batches[:2], checkpoint_dir=ckpt, **kw
+    )
+
+    # resume on the same mesh: batches 0-1 must not be re-routed
+    calls = {"bucketize": 0, "exchange": 0}
+    orig_b, orig_x = (
+        shard_count._bucketize_batch, shard_count._exchange_and_bucketize_batch
+    )
+
+    def count_b(*a, **k2):
+        calls["bucketize"] += 1
+        return orig_b(*a, **k2)
+
+    def count_x(*a, **k2):
+        calls["exchange"] += 1
+        return orig_x(*a, **k2)
+
+    shard_count._bucketize_batch = count_b
+    shard_count._exchange_and_bucketize_batch = count_x
+    try:
+        got = shard_count.sharded_count_batches(
+            batches, checkpoint_dir=ckpt, **kw
+        )
+    finally:
+        shard_count._bucketize_batch = orig_b
+        shard_count._exchange_and_bucketize_batch = orig_x
+    n_new = len(batches) - 2
+    assert calls["bucketize"] == 1 and calls["exchange"] == n_new - 1
+    assert int(np.sum(np.asarray(got.overflow))) == 0
+    assert shard_count.sharded_to_host_dict(got, k, m) == want_dict
+
+    # resume the 2-batch checkpoint onto a 4-shard mesh (different shape)
+    mesh4 = mesh_lib.make_mesh(4)
+    ckpt2 = str(tmp_path / "ck2")
+    shard_count.sharded_count_batches(batches[:2], checkpoint_dir=ckpt2, **kw)
+    kw4 = dict(kw, mesh=mesh4)
+    got4 = shard_count.sharded_count_batches(
+        batches, checkpoint_dir=ckpt2, **kw4
+    )
+    want4 = shard_count.sharded_count_batches(batches, **kw4)
+    assert (
+        shard_count.sharded_to_host_dict(got4, k, m)
+        == shard_count.sharded_to_host_dict(want4, k, m)
+        == want_dict
+    )
+
+    # a manifest from different run parameters must refuse, not resume
+    with pytest.raises(ValueError, match="different run"):
+        shard_count.sharded_count_batches(
+            batches, checkpoint_dir=ckpt, k=13, m=m, parity=False,
+            cutoff=cutoff, mesh=mesh8,
+        )
