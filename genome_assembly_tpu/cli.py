@@ -197,6 +197,9 @@ def cmd_generate(args) -> int:
     if args.genome_out:
         with open(args.genome_out, "w") as f:
             f.write(genome + "\n")
+    if args.starts_out:
+        with open(args.starts_out, "w") as f:
+            f.write("\n".join(str(int(s)) for s in starts) + "\n")
     if args.plot:
         from genome_assembly_tpu.utils.plots import plot_reads
 
@@ -219,9 +222,19 @@ def cmd_plot(args) -> int:
     plots.plot_mmer_bins(bin_counts, str(outdir / "mmers.png"))
     if args.genome_file:
         genome = pathlib.Path(args.genome_file).read_text().strip()
-        plots.plot_unitig_placement(
-            [u for u, _ in unitigs], genome, str(outdir / "kmers.png")
-        )
+        if args.starts_file:
+            starts = [
+                int(line)
+                for line in pathlib.Path(args.starts_file).read_text().split()
+            ]
+            plots.plot_unitig_placement_by_read_ids(
+                unitigs, starts, genome, args.read_len,
+                str(outdir / "kmers.png"),
+            )
+        else:
+            plots.plot_unitig_placement(
+                [u for u, _ in unitigs], genome, str(outdir / "kmers.png")
+            )
     print(
         f"{sum(bin_counts.values())} unitigs in {len(bin_counts)} bins -> "
         f"{outdir}",
@@ -334,11 +347,20 @@ def main(argv=None) -> int:
     g.add_argument("--triangular", action="store_true",
                    help="reference-style triangular random walk positions")
     g.add_argument("--plot", default=None, help="write read-coverage bitmap PNG")
+    g.add_argument("--starts-out", default=None,
+                   help="write read start positions (one per line; read id "
+                   "= line number) for read-id-based placement plots")
     g.set_defaults(fn=cmd_generate)
 
     p = sub.add_parser("plot", help="validation plots from verbose output")
     p.add_argument("unitigs_file")
     p.add_argument("--genome-file", default=None)
+    p.add_argument("--starts-file", default=None,
+                   help="read start positions (generate --starts-out); "
+                   "switches kmers.png to read-id-based placement (the "
+                   "reference plot_unitigs flow) instead of exact search")
+    p.add_argument("--read-len", type=int, default=100,
+                   help="read length for --starts-file placement windows")
     p.add_argument("--outdir", default="plots")
     p.set_defaults(fn=cmd_plot)
 
