@@ -933,6 +933,26 @@ def _materialize_prep_sort(valid, head, rank, is_cycle):
     return sid_s, chain_start, n_lin, n_cyc
 
 
+@jax.jit
+def _materialize_prep_compact(sid_s, chain_start):
+    """Compact chain-start info so the host never reads the big lanes.
+
+    Returns (pos_s, sid_h, n_chains): ascending chain-start positions and
+    the head state id at each, both compacted to the front of 2N-sized
+    arrays (one 2-lane device sort).  The host slices the first n_chains
+    of each -- a readback of O(chains) ints instead of the full sorted
+    state-id lane (VERDICT round 2 item 7: the 800 MB sid readback was
+    most of the residual celegans materialize wall).
+    """
+    n2 = sid_s.shape[0]
+    idx = jnp.arange(n2, dtype=jnp.int32)
+    big = jnp.int32(0x7FFFFFFF)
+    key = jnp.where(chain_start, idx, big)
+    pos_s, sid_h = lax.sort((key, sid_s), num_keys=1)
+    n_chains = jnp.sum(chain_start.astype(jnp.int32))
+    return pos_s, sid_h, n_chains
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _materialize_prep_bytes(khi, klo, sid_s, *, k):
     """Per-state output BYTE in walk order (second prep pass).
@@ -1011,6 +1031,47 @@ def materialize_unitigs_device(
             np.asarray(cycle_lens, dtype=np.int64),
         )
 
+    if node_counts is None:
+        # thin-readback path: the ASCII byte lane is the only big
+        # transfer.  Chain starts + head state ids come back compacted
+        # (O(chains) ints); chain geometry is rebuilt from starts alone.
+        pos_s, sid_h, n_chains_dev = _materialize_prep_compact(
+            sid_s, chain_start
+        )
+        n_chains = int(n_chains_dev)
+        starts = np.asarray(pos_s[:n_chains]).astype(np.int64)
+        head_sids = np.asarray(sid_h[:n_chains])
+        byte_np = np.asarray(byte_s[:n_lin])
+
+        chain_lens = np.diff(np.append(starts, n_lin))
+        out_lens = chain_lens + (k - 1)
+        out_off = np.zeros(n_chains + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=out_off[1:])
+        buf = np.empty(out_off[-1], dtype=np.uint8)
+
+        # head states contribute their first k-1 bases as the chain
+        # prefix; their LAST base arrives through the byte lane like any
+        # other state's, so the body placement below is uniform
+        first_vals = _host_state_vals(khi_u, klo_u, k, head_sids)
+        for j in range(k - 1):
+            shift = np.uint64(2 * (k - 1 - j))
+            buf[out_off[:-1] + j] = _CODE_CHARS[
+                ((first_vals >> shift) & np.uint64(3)).astype(np.int64)
+            ]
+        chain_id = np.repeat(
+            np.arange(n_chains, dtype=np.int64), chain_lens
+        )
+        local_i = np.arange(n_lin, dtype=np.int64) - starts[chain_id]
+        buf[out_off[chain_id] + (k - 1) + local_i] = byte_np
+
+        return _canonical_chain_strings(
+            buf.tobytes(), out_off, chain_lens, None,
+            cycle_strings, cycle_sums, cycle_lens,
+        )
+
+    # coverage path: per-chain occurrence sums need int64 accumulation
+    # over every state's node counts (x64 is disabled on device), so the
+    # state-id lane readback stays
     sid_np = np.asarray(sid_s)[:n_lin]
     byte_np = np.asarray(byte_s)[:n_lin]
     cs_np = np.asarray(chain_start)[:n_lin]
@@ -1035,12 +1096,10 @@ def materialize_unitigs_device(
     ns = ~cs_np
     buf[out_off[chain_id[ns]] + (k - 1) + local_i[ns]] = byte_np[ns]
 
-    chain_sums = None
-    if node_counts is not None:
-        node_counts = np.asarray(node_counts)
-        chain_sums = np.add.reduceat(
-            node_counts[sid_np >> 1].astype(np.int64), starts
-        )
+    node_counts = np.asarray(node_counts)
+    chain_sums = np.add.reduceat(
+        node_counts[sid_np >> 1].astype(np.int64), starts
+    )
 
     return _canonical_chain_strings(
         buf.tobytes(), out_off, chain_lens, chain_sums,
