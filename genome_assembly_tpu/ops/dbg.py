@@ -367,23 +367,29 @@ def build_unitig_links_ooc(
     k: int,
     partitions: int,
     chunk_nodes: int = 1 << 24,
-    slack: float = 1.6,
+    slack: float | None = None,
+    group_size: int | None = None,
+    group_budget_bytes: int = 5 << 30,
 ):
     """next_state[2N] for key sets whose 4N-record join sort exceeds HBM.
 
     Identical results to build_unitig_links_join (differential-tested),
-    computed in ceil(partitions/3) passes: each pass regenerates every
+    computed in ceil(partitions/G) passes: each pass regenerates every
     chunk's boundary records (cheap arithmetic over the resident key
-    array), extracts a GROUP of 3 key-hash partitions via the tag-folding
-    compaction of ops/outofcore.py, then sorts + pair-tests each partition
-    independently and scatters its edges into the accumulating link array.
+    array), extracts a GROUP of G consecutive RANGE partitions
+    (ops/outofcore.extract_partition_range3; G sized from a staging
+    budget, not the old 2-bit tag limit of 3), then sorts + pair-tests
+    each partition independently and scatters its edges into the
+    accumulating link array.
 
-    Peak device memory: 2N links + the key array + one partition's records
-    (4N/partitions x slack x 3 lanes) + its sort copies -- the knob that
-    lets a 268M-state celegans-scale graph build on a 16 GB chip.
+    Peak device memory: 2N links + the key array + G partitions' staged
+    records (G x 4N/partitions x 12 B) + one partition's sort copies --
+    the knob that lets a 268M-state celegans-scale graph build on a
+    16 GB chip.
 
-    Returns (next_state [2N], overflow_count); nonzero overflow => raise
-    ``slack`` (a partition's records exceeded their per-chunk capacity).
+    Returns (next_state [2N], overflow_count); nonzero overflow => more
+    partitions or explicit ``slack`` (a partition's records exceeded
+    their per-chunk capacity).
     """
     from genome_assembly_tpu.ops import outofcore
 
@@ -399,17 +405,23 @@ def build_unitig_links_ooc(
     n_padded = khi.shape[0]
     n_chunks = n_padded // chunk_nodes
     rec_per_chunk = 4 * chunk_nodes
-    cap_bp = min(
-        rec_per_chunk,
-        int(np.ceil(rec_per_chunk / partitions * slack)) + 1,
+    cap_bp, G = outofcore.range_group_plan(
+        n_chunks, rec_per_chunk, partitions=partitions,
+        bytes_per_record=12, budget_bytes=group_budget_bytes,
+        group_size=group_size,
     )
+    if slack is not None:  # explicit multiplicative override (tests)
+        cap_bp = min(
+            rec_per_chunk,
+            int(np.ceil(rec_per_chunk / partitions * slack)) + 1,
+        )
 
     next_state = jnp.full(2 * n_padded, -1, dtype=jnp.int32)
     ovf_total = 0
-    n_groups = (partitions + outofcore.GROUP - 1) // outofcore.GROUP
+    n_groups = (partitions + G - 1) // G
     for g in range(n_groups):
-        pieces = [([], [], []) for _ in range(outofcore.GROUP)]
-        ovf_dev = jnp.zeros((outofcore.GROUP,), jnp.int32)
+        pieces = [([], [], []) for _ in range(G)]
+        ovf_dev = jnp.zeros((G,), jnp.int32)
         for c in range(n_chunks):
             s = c * chunk_nodes
             rk_hi, rk_lo, rpay = _chunk_boundary_records(
@@ -420,19 +432,19 @@ def build_unitig_links_ooc(
                 k=k,
                 chunk_nodes=chunk_nodes,
             )
-            ghi, glo, gpay, ovf = outofcore.extract_partition_group3(
+            ghi, glo, gpay, ovf = outofcore.extract_partition_range3(
                 rk_hi, rk_lo, rpay, jnp.uint32(g),
-                partitions=partitions, cap_bp=cap_bp,
+                partitions=partitions, group_size=G, cap_bp=cap_bp,
             )
-            for r in range(outofcore.GROUP):
+            for r in range(G):
                 pieces[r][0].append(ghi[r])
                 pieces[r][1].append(glo[r])
                 pieces[r][2].append(gpay[r])
             ovf_dev = ovf_dev + ovf.astype(jnp.int32)
         ovf_total += int(jnp.sum(ovf_dev))
 
-        for r in range(outofcore.GROUP):
-            p = g * outofcore.GROUP + r
+        for r in range(G):
+            p = g * G + r
             if p >= partitions:
                 continue
             cat_hi = jnp.concatenate(pieces[r][0])
@@ -469,7 +481,9 @@ def build_unitig_links_parked(
     k: int,
     partitions: int,
     chunk_nodes: int = 1 << 24,
-    slack: float = 1.6,
+    slack: float | None = None,
+    group_size: int | None = None,
+    group_budget_bytes: int = 5 << 30,
     park_links: bool = False,
 ):
     """build_unitig_links_ooc with the big residents parked in host RAM.
@@ -512,10 +526,16 @@ def build_unitig_links_parked(
     n_padded = khi.shape[0]
     n_chunks = n_padded // chunk_nodes
     rec_per_chunk = 4 * chunk_nodes
-    cap_bp = min(
-        rec_per_chunk,
-        int(np.ceil(rec_per_chunk / partitions * slack)) + 1,
+    cap_bp, G = outofcore.range_group_plan(
+        n_chunks, rec_per_chunk, partitions=partitions,
+        bytes_per_record=12, budget_bytes=group_budget_bytes,
+        group_size=group_size,
     )
+    if slack is not None:  # explicit multiplicative override (tests)
+        cap_bp = min(
+            rec_per_chunk,
+            int(np.ceil(rec_per_chunk / partitions * slack)) + 1,
+        )
 
     if park_links:
         next_host = np.full(2 * n_padded, -1, dtype=np.int32)
@@ -523,10 +543,10 @@ def build_unitig_links_parked(
     else:
         next_state = jnp.full(2 * n_padded, -1, dtype=jnp.int32)
     ovf_total = 0
-    n_groups = (partitions + outofcore.GROUP - 1) // outofcore.GROUP
+    n_groups = (partitions + G - 1) // G
     for g in range(n_groups):
-        pieces = [([], [], []) for _ in range(outofcore.GROUP)]
-        ovf_dev = jnp.zeros((outofcore.GROUP,), jnp.int32)
+        pieces = [([], [], []) for _ in range(G)]
+        ovf_dev = jnp.zeros((G,), jnp.int32)
         for c in range(n_chunks):
             s = c * chunk_nodes
             chi = khi[s : s + chunk_nodes]
@@ -540,19 +560,19 @@ def build_unitig_links_parked(
                 chi, clo, cva, jnp.int32(s), k=k, chunk_nodes=chunk_nodes
             )
             del chi, clo, cva
-            ghi, glo, gpay, ovf = outofcore.extract_partition_group3(
+            ghi, glo, gpay, ovf = outofcore.extract_partition_range3(
                 rk_hi, rk_lo, rpay, jnp.uint32(g),
-                partitions=partitions, cap_bp=cap_bp,
+                partitions=partitions, group_size=G, cap_bp=cap_bp,
             )
-            for r in range(outofcore.GROUP):
+            for r in range(G):
                 pieces[r][0].append(ghi[r])
                 pieces[r][1].append(glo[r])
                 pieces[r][2].append(gpay[r])
             ovf_dev = ovf_dev + ovf.astype(jnp.int32)
         ovf_total += int(jnp.sum(ovf_dev))
 
-        for r in range(outofcore.GROUP):
-            p = g * outofcore.GROUP + r
+        for r in range(G):
+            p = g * G + r
             if p >= partitions:
                 continue
             cat_hi = jnp.concatenate(pieces[r][0])

@@ -200,6 +200,84 @@ def extract_partition_group(
     return jnp.stack(his), jnp.stack(los), jnp.stack(ovfs)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("partitions", "group_size", "cap_bp")
+)
+def extract_partition_range3(
+    hi: jnp.ndarray, lo: jnp.ndarray, pay: jnp.ndarray, group: jnp.ndarray, *,
+    partitions: int, group_size: int, cap_bp: int
+):
+    """Payload-carrying variant of :func:`extract_partition_range`.
+
+    Same hash-keyed range extraction with a third uint32 payload lane
+    riding through the sort (the out-of-core LINK builder's records carry
+    side|state ids).  Group width is a memory decision, not a spare-bit
+    one -- see extract_partition_range.  Returns (hi [G, cap_bp], lo,
+    pay, overflows [G]); non-members are masked back to SENTINEL in all
+    three lanes.
+    """
+    G = group_size
+    h = (hi * _HASH_A) ^ (lo * _HASH_B)
+    keep = hi != SENTINEL
+    comp = jnp.where(keep, jnp.minimum(h, jnp.uint32(0xFFFFFFFE)), SENTINEL)
+    hi_m = jnp.where(keep, hi, SENTINEL)
+    lo_m = jnp.where(keep, lo, SENTINEL)
+    pay_m = jnp.where(keep, pay, SENTINEL)
+    comp_s, hi_s, lo_s, pay_s = lax.sort(
+        (comp, hi_m, lo_m, pay_m), num_keys=1
+    )
+    n = comp_s.shape[0]
+    p0 = group.astype(jnp.uint32) * jnp.uint32(G)
+    pids = p0 + jnp.arange(G, dtype=jnp.uint32)
+    bounds = jnp.searchsorted(
+        comp_s, _range_lower_bound(pids, partitions), side="left"
+    ).astype(jnp.int32)
+    P = jnp.uint32(partitions)
+
+    def member(comp_v, hi_v, pid):
+        dec = ((comp_v >> 16) * P) >> 16
+        return (dec == pid) & (hi_v != SENTINEL)
+
+    his, los, pays, ovfs = [], [], [], []
+    for r in range(G):
+        start = jnp.clip(bounds[r], 0, n - cap_bp) if cap_bp <= n else 0
+        chi = lax.dynamic_slice_in_dim(hi_s, start, cap_bp)
+        clo = lax.dynamic_slice_in_dim(lo_s, start, cap_bp)
+        cpay = lax.dynamic_slice_in_dim(pay_s, start, cap_bp)
+        ccomp = lax.dynamic_slice_in_dim(comp_s, start, cap_bp)
+        mem = member(ccomp, chi, pids[r])
+        his.append(jnp.where(mem, chi, SENTINEL))
+        los.append(jnp.where(mem, clo, SENTINEL))
+        pays.append(jnp.where(mem, cpay, SENTINEL))
+        probe = jnp.clip(bounds[r] + cap_bp, 0, n - 1)
+        ovfs.append(
+            member(comp_s[probe], hi_s[probe], pids[r])
+            & (bounds[r] + cap_bp < n)
+        )
+    return jnp.stack(his), jnp.stack(los), jnp.stack(pays), jnp.stack(ovfs)
+
+
+def range_group_plan(
+    n_units: int, unit_records: int, *, partitions: int,
+    bytes_per_record: int, budget_bytes: int = 6 << 30,
+    group_size: int | None = None,
+):
+    """Shared (cap_bp, group_size) sizing for range-scheme extractions.
+
+    cap_bp is statistical (mean + 8 sigma + 64 over the worst-balanced
+    partition); group_size fits `units x cap_bp x bytes` staging per
+    partition into the budget, clamped to [1, MAX_GROUP, partitions].
+    """
+    mean = unit_records * np.ceil(65536 / partitions) / 65536
+    cap_bp = min(
+        unit_records, int(np.ceil(mean + 8.0 * np.sqrt(mean))) + 64
+    )
+    if group_size is None:
+        staged = max(1, n_units * cap_bp * bytes_per_record)
+        group_size = int(max(1, min(MAX_GROUP, budget_bytes // staged)))
+    return cap_bp, min(group_size, partitions)
+
+
 @functools.partial(jax.jit, static_argnames=("partitions", "cap_bp"))
 def extract_partition_group3(
     hi: jnp.ndarray, lo: jnp.ndarray, pay: jnp.ndarray, group: jnp.ndarray, *,

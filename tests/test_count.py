@@ -395,3 +395,41 @@ def test_partitioned_count_resume_across_group_retune(tmp_path):
     assert d.batch_overflows == 0
     assert len(calls) > 1  # overflowed partitions really re-ran
     assert (d.n_distinct, d.n_kept) == (a.n_distinct, a.n_kept)
+
+
+def test_extract_partition_range3_exhaustive():
+    """Payload-carrying range extraction: union over groups equals the
+    input multiset (keys AND payloads), including the hash-0xFFFFFFFF
+    clamp key, across (partitions, group_size) shapes."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import outofcore
+
+    rng = np.random.default_rng(59)
+    n = 512
+    hi = rng.integers(0, 1 << 30, n).astype(np.uint32)
+    lo = rng.integers(0, 1 << 32, n).astype(np.uint32)
+    pay = rng.integers(0, 1 << 31, n).astype(np.uint32)
+    hi[3], lo[3] = 0, 4050964655  # hash == 0xFFFFFFFF
+    hi[50:90] = 0xFFFFFFFF
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in zip(hi, lo, pay) if a != 0xFFFFFFFF
+    )
+    for partitions, group_size in ((1, 1), (5, 2), (11, 16), (64, 6)):
+        got = []
+        groups = (partitions + group_size - 1) // group_size
+        for g in range(groups):
+            ghi, glo, gpay, ovf = outofcore.extract_partition_range3(
+                jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(pay),
+                jnp.uint32(g), partitions=partitions,
+                group_size=group_size, cap_bp=n,
+            )
+            assert not bool(np.any(np.asarray(ovf)))
+            for r in range(group_size):
+                a, b, c = (np.asarray(x[r]) for x in (ghi, glo, gpay))
+                got.extend(
+                    (int(x), int(y), int(z))
+                    for x, y, z in zip(a, b, c) if x != 0xFFFFFFFF
+                )
+        assert sorted(got) == want, (partitions, group_size)
