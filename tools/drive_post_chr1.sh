@@ -29,11 +29,11 @@ mark "celegans rc=$?"
 frac="${GA_FRACTION_S:-1800}"
 mark "humanchr count fraction start (window ${frac}s)"
 timeout "$frac" python tools/run_scale.py --preset humanchr --count-only \
-  --checkpoint-dir ckpt/humanchr \
+  --park-keys --checkpoint-dir ckpt/humanchr \
   > runs/humanchr_frac1_r3.jsonl 2> runs/humanchr_frac1_r3.err
 mark "humanchr window1 rc=$? (124 = timeout-kill, expected)"
 timeout "$frac" python tools/run_scale.py --preset humanchr --count-only \
-  --checkpoint-dir ckpt/humanchr \
+  --park-keys --checkpoint-dir ckpt/humanchr \
   > runs/humanchr_frac2_r3.jsonl 2> runs/humanchr_frac2_r3.err
 mark "humanchr window2 rc=$? (resume proof; 124 expected)"
 ls ckpt/humanchr/part_*.npz 2>/dev/null | wc -l >> "$log"
