@@ -11,8 +11,9 @@ disk or from the on-device read simulator.  So, KMC-style (PAPERS.md):
   contiguous runs), then count each partition entirely in HBM.  G is
   sized from a staging-memory budget (default 8 GB -> G ~ 7 at the 1 GB
   per-partition record sizing), so the pass count is
-  ~ total_record_bytes / budget.  The payload-carrying extractors (links,
-  parity) still use the older 2-bit tag-folding scheme (G fixed at 3).
+  ~ total_record_bytes / budget.  The link builders (3-lane) and the
+  parity path (5-lane) use the same range scheme via their
+  payload-carrying extractors.
 
 All of a key's duplicates share its hash, so per-partition counts are
 complete and partitions are disjoint: the union of per-partition kept keys
@@ -47,22 +48,6 @@ from genome_assembly_tpu.common import (
     SENTINEL,
 )
 
-
-def key_partition(hi: jnp.ndarray, lo: jnp.ndarray, partitions: int) -> jnp.ndarray:
-    """Uniform partition id from both key lanes (same family as
-    parallel/part_dbg ownership hashing)."""
-    h = (hi * _HASH_A) ^ (lo * _HASH_B)
-    return ((h >> 9) % jnp.uint32(partitions)).astype(jnp.uint32)
-
-
-GROUP = 3  # partitions extracted per scan: the tag rides in the key lane's
-# spare top bits (k <= 31 => hi < 2^30).  NOT 4: tag 3 with hi=0x3FFFFFFF
-# (a poly-A prefix at k=31) would collide with the SENTINEL encoding;
-# tags 0..2 keep every real composite < 0xC0000000, strictly below any
-# sentinel, so membership tests are unambiguous for every k <= 31.
-# (Payload-carrying extractors below still use this tag-folding scheme;
-# the fast-count path uses the RANGE scheme, whose group width is limited
-# only by staging memory -- see extract_partition_range.)
 
 # Maximum partitions extracted per re-scan pass under the range scheme.
 # Bounds the unrolled slice count in the extraction executable (compile
@@ -156,50 +141,6 @@ def extract_partition_range(
     return jnp.stack(his), jnp.stack(los), jnp.stack(ovfs)
 
 
-@functools.partial(jax.jit, static_argnames=("partitions", "cap_bp"))
-def extract_partition_group(
-    hi: jnp.ndarray, lo: jnp.ndarray, group: jnp.ndarray, *,
-    partitions: int, cap_bp: int
-):
-    """Extract partitions [group*GROUP, (group+1)*GROUP) from one batch.
-
-    hi/lo: flat key lanes (SENTINEL = invalid).  group: traced scalar (one
-    executable serves every pass).  The in-group partition index is folded
-    into bits 30..31 of the hi lane; a single 2-lane sort then lays the
-    GROUP partitions out as contiguous runs with all non-group records at
-    the end, and each run's fixed-size slice starts at a searchsorted
-    boundary.  Returns (hi [GROUP, cap_bp], lo [GROUP, cap_bp],
-    overflows [GROUP]) with non-members masked back to SENTINEL.
-    """
-    pid = key_partition(hi, lo, partitions).astype(jnp.int32)
-    rel = pid - group.astype(jnp.int32) * GROUP
-    keep = (rel >= 0) & (rel < GROUP) & (hi != SENTINEL)
-    rel_u = jnp.where(keep, rel, 0).astype(jnp.uint32)
-    comp = jnp.where(keep, (rel_u << 30) | hi, SENTINEL)
-    lo_m = jnp.where(keep, lo, SENTINEL)
-    comp_s, lo_s = lax.sort((comp, lo_m), num_keys=2)
-    n = comp_s.shape[0]
-    bounds = jnp.searchsorted(
-        comp_s, jnp.arange(GROUP, dtype=jnp.uint32) << 30, side="left"
-    ).astype(jnp.int32)
-    his, los, ovfs = [], [], []
-    for r in range(GROUP):
-        start = jnp.clip(bounds[r], 0, n - cap_bp) if cap_bp <= n else 0
-        chi = lax.dynamic_slice_in_dim(comp_s, start, cap_bp)
-        clo = lax.dynamic_slice_in_dim(lo_s, start, cap_bp)
-        member = (chi >> 30) == r  # sentinels decode to tag 3 > any r
-        # slice tails may hold the next run's records; mask them out
-        his.append(jnp.where(member, chi & jnp.uint32((1 << 30) - 1), SENTINEL))
-        los.append(jnp.where(member, clo, SENTINEL))
-        # overflow: the run extends past the slice (the record at
-        # bounds[r] + cap_bp still belongs to r)
-        probe = jnp.clip(bounds[r] + cap_bp, 0, n - 1)
-        ovfs.append(
-            ((comp_s[probe] >> 30) == r) & (bounds[r] + cap_bp < n)
-        )
-    return jnp.stack(his), jnp.stack(los), jnp.stack(ovfs)
-
-
 @functools.partial(
     jax.jit, static_argnames=("partitions", "group_size", "cap_bp")
 )
@@ -278,49 +219,10 @@ def range_group_plan(
     return cap_bp, min(group_size, partitions)
 
 
-@functools.partial(jax.jit, static_argnames=("partitions", "cap_bp"))
-def extract_partition_group3(
-    hi: jnp.ndarray, lo: jnp.ndarray, pay: jnp.ndarray, group: jnp.ndarray, *,
-    partitions: int, cap_bp: int
-):
-    """Payload-carrying variant of :func:`extract_partition_group`.
-
-    Same tag-folding compaction over (hi, lo) keys, with a third uint32
-    payload lane riding through the sort (the out-of-core LINK builder's
-    records carry side|state ids).  Key hi lanes must stay < 2^30 -- true
-    for both k-mer keys (k <= 31) and the (k-1)-mer boundary keys.
-    Returns (hi [GROUP, cap_bp], lo, pay, overflows [GROUP]); non-members
-    are masked back to SENTINEL in all three lanes.
-    """
-    pid = key_partition(hi, lo, partitions).astype(jnp.int32)
-    rel = pid - group.astype(jnp.int32) * GROUP
-    keep = (rel >= 0) & (rel < GROUP) & (hi != SENTINEL)
-    rel_u = jnp.where(keep, rel, 0).astype(jnp.uint32)
-    comp = jnp.where(keep, (rel_u << 30) | hi, SENTINEL)
-    lo_m = jnp.where(keep, lo, SENTINEL)
-    pay_m = jnp.where(keep, pay, SENTINEL)
-    comp_s, lo_s, pay_s = lax.sort((comp, lo_m, pay_m), num_keys=2)
-    n = comp_s.shape[0]
-    bounds = jnp.searchsorted(
-        comp_s, jnp.arange(GROUP, dtype=jnp.uint32) << 30, side="left"
-    ).astype(jnp.int32)
-    his, los, pays, ovfs = [], [], [], []
-    for r in range(GROUP):
-        start = jnp.clip(bounds[r], 0, n - cap_bp) if cap_bp <= n else 0
-        chi = lax.dynamic_slice_in_dim(comp_s, start, cap_bp)
-        clo = lax.dynamic_slice_in_dim(lo_s, start, cap_bp)
-        cpay = lax.dynamic_slice_in_dim(pay_s, start, cap_bp)
-        member = (chi >> 30) == r
-        his.append(jnp.where(member, chi & jnp.uint32((1 << 30) - 1), SENTINEL))
-        los.append(jnp.where(member, clo, SENTINEL))
-        pays.append(jnp.where(member, cpay, SENTINEL))
-        probe = jnp.clip(bounds[r] + cap_bp, 0, n - 1)
-        ovfs.append(((comp_s[probe] >> 30) == r) & (bounds[r] + cap_bp < n))
-    return jnp.stack(his), jnp.stack(los), jnp.stack(pays), jnp.stack(ovfs)
-
-
-@functools.partial(jax.jit, static_argnames=("partitions", "cap_bp"))
-def extract_partition_group5(
+@functools.partial(
+    jax.jit, static_argnames=("partitions", "group_size", "cap_bp")
+)
+def extract_partition_range5(
     mmer: jnp.ndarray,
     khi: jnp.ndarray,
     klo: jnp.ndarray,
@@ -329,51 +231,53 @@ def extract_partition_group5(
     group: jnp.ndarray,
     *,
     partitions: int,
+    group_size: int,
     cap_bp: int,
 ):
-    """Five-lane (parity-record) variant of :func:`extract_partition_group`.
+    """Five-lane (parity-record) RANGE extraction.
 
-    Parity records are (mmer, kmer_hi, kmer_lo, read_id, stream); the
-    partition hash covers the full (mmer, kmer) group key -- the reference
-    groups by signature bin AND k-mer, so duplicates of a k-mer under two
-    different signatures are distinct entries (SURVEY.md 2.1.4) and must
-    partition together only per (mmer, kmer) pair.  The tag folds into the
-    mmer lane's spare top bits (m <= 15 => mmer < 2^30).
-    Returns ([GROUP, cap_bp] x 5, overflows [GROUP]).
+    The partition hash covers the full (mmer, kmer) group key (the
+    reference groups by signature bin AND k-mer, SURVEY.md 2.1.4); the
+    group is a contiguous hash interval, so one 1-key sort lays out any
+    number of consecutive partitions -- width from staging memory, not
+    the mmer lane's spare bits.  Returns ([G, cap_bp] x 5,
+    overflows [G]).
     """
+    G = group_size
     h = (mmer * _HASH_A) ^ (khi * _HASH_B) ^ (klo * jnp.uint32(0x9E3779B9))
-    pid = ((h >> 9) % jnp.uint32(partitions)).astype(jnp.int32)
-    rel = pid - group.astype(jnp.int32) * GROUP
-    keep = (rel >= 0) & (rel < GROUP) & (mmer != SENTINEL)
-    rel_u = jnp.where(keep, rel, 0).astype(jnp.uint32)
-    comp = jnp.where(keep, (rel_u << 30) | mmer, SENTINEL)
-    khi_m = jnp.where(keep, khi, SENTINEL)
-    klo_m = jnp.where(keep, klo, SENTINEL)
-    rid_m = jnp.where(keep, rid, SENTINEL)
-    str_m = jnp.where(keep, stream, SENTINEL)
-    comp_s, khi_s, klo_s, rid_s, str_s = lax.sort(
-        (comp, khi_m, klo_m, rid_m, str_m), num_keys=1, is_stable=True
-    )
+    keep = mmer != SENTINEL
+    comp = jnp.where(keep, jnp.minimum(h, jnp.uint32(0xFFFFFFFE)), SENTINEL)
+    lanes_m = [
+        jnp.where(keep, x, SENTINEL) for x in (mmer, khi, klo, rid, stream)
+    ]
+    sorted_all = lax.sort((comp, *lanes_m), num_keys=1)
+    comp_s, lanes_s = sorted_all[0], sorted_all[1:]
     n = comp_s.shape[0]
+    p0 = group.astype(jnp.uint32) * jnp.uint32(G)
+    pids = p0 + jnp.arange(G, dtype=jnp.uint32)
     bounds = jnp.searchsorted(
-        comp_s, jnp.arange(GROUP, dtype=jnp.uint32) << 30, side="left"
+        comp_s, _range_lower_bound(pids, partitions), side="left"
     ).astype(jnp.int32)
+    P = jnp.uint32(partitions)
+
+    def member(comp_v, m_v, pid):
+        dec = ((comp_v >> 16) * P) >> 16
+        return (dec == pid) & (m_v != SENTINEL)
+
     outs = ([], [], [], [], [])
     ovfs = []
-    for r in range(GROUP):
+    for r in range(G):
         start = jnp.clip(bounds[r], 0, n - cap_bp) if cap_bp <= n else 0
-        lanes = [
-            lax.dynamic_slice_in_dim(x, start, cap_bp)
-            for x in (comp_s, khi_s, klo_s, rid_s, str_s)
-        ]
-        member = (lanes[0] >> 30) == r
-        outs[0].append(
-            jnp.where(member, lanes[0] & jnp.uint32((1 << 30) - 1), SENTINEL)
-        )
-        for j in range(1, 5):
-            outs[j].append(jnp.where(member, lanes[j], SENTINEL))
+        ccomp = lax.dynamic_slice_in_dim(comp_s, start, cap_bp)
+        cl = [lax.dynamic_slice_in_dim(x, start, cap_bp) for x in lanes_s]
+        mem = member(ccomp, cl[0], pids[r])
+        for j in range(5):
+            outs[j].append(jnp.where(mem, cl[j], SENTINEL))
         probe = jnp.clip(bounds[r] + cap_bp, 0, n - 1)
-        ovfs.append(((comp_s[probe] >> 30) == r) & (bounds[r] + cap_bp < n))
+        ovfs.append(
+            member(comp_s[probe], lanes_s[0][probe], pids[r])
+            & (bounds[r] + cap_bp < n)
+        )
     return tuple(jnp.stack(o) for o in outs) + (jnp.stack(ovfs),)
 
 
@@ -412,15 +316,18 @@ def partitioned_count_parity(
     *,
     partitions: int,
     cutoff: int,
-    slack: float = 1.6,
+    slack: float | None = None,
+    group_size: int | None = None,
+    group_budget_bytes: int = 8 << 30,
     checkpoint_dir: str | None = None,
 ):
     """Out-of-core PARITY counting: the payload-carrying analogue of
     :func:`partitioned_count`.
 
     batch_records(i) -> (mmer, khi, klo, rid, stream) flat uint32 lanes for
-    batch i (SENTINEL mmer = invalid), regenerated per group pass (ceil(P/3)
-    scans per batch).  Returns a parity HostTable
+    batch i (SENTINEL mmer = invalid), regenerated per group pass
+    (ceil(P/G) scans per batch; G from the staging budget, see
+    extract_partition_range5).  Returns a parity HostTable
     (genome_assembly_tpu.parity.table.HostTable) holding every group
     (cutoff -1; the replay engine prunes with the reference's own
     semantics) or only surviving groups (cutoff >= 0), in global
@@ -438,10 +345,16 @@ def partitioned_count_parity(
 
     probe = batch_records(0)
     batch_slots = int(probe[0].shape[0])
-    cap_bp = min(
-        batch_slots,
-        int(np.ceil(batch_slots / partitions * slack)) + 1,
+    cap_bp, G = range_group_plan(
+        n_batches, batch_slots, partitions=partitions,
+        bytes_per_record=20, budget_bytes=group_budget_bytes,
+        group_size=group_size,
     )
+    if slack is not None:  # explicit multiplicative override (tests)
+        cap_bp = min(
+            batch_slots,
+            int(np.ceil(batch_slots / partitions * slack)) + 1,
+        )
 
     ckpt = None
     if checkpoint_dir is not None:
@@ -451,11 +364,11 @@ def partitioned_count_parity(
         ckpt = pathlib.Path(checkpoint_dir)
         ckpt.mkdir(parents=True, exist_ok=True)
         fp = {
-            "format": 1,
+            "format": 2,
+            "scheme": "range16",
             "mode": "parity",
             "partitions": partitions,
             "cutoff": cutoff,
-            "slack": slack,
             "n_batches": n_batches,
             "batch_slots": batch_slots,
         }
@@ -474,7 +387,7 @@ def partitioned_count_parity(
     g_ids: list = []
     n_windows = 0
     batch_overflows = 0
-    n_groups = (partitions + GROUP - 1) // GROUP
+    n_groups = (partitions + G - 1) // G
 
     def part_path(p):
         return ckpt / f"part_{p}_parity.npz" if ckpt is not None else None
@@ -496,7 +409,7 @@ def partitioned_count_parity(
 
     for g in range(n_groups):
         group_parts = [
-            p for p in range(g * GROUP, min((g + 1) * GROUP, partitions))
+            p for p in range(g * G, min((g + 1) * G, partitions))
         ]
         missing = [
             p for p in group_parts
@@ -512,8 +425,8 @@ def partitioned_count_parity(
                 n_windows += int(np.load(ckpt / "windows_parity.npy"))
             continue
 
-        staged = [([], [], [], [], []) for _ in range(GROUP)]
-        ovf_dev = jnp.zeros((GROUP,), jnp.int32)
+        staged = [([], [], [], [], []) for _ in range(G)]
+        ovf_dev = jnp.zeros((G,), jnp.int32)
         # uint32 accumulator (x64 is disabled): good to 4.29G windows,
         # i.e. any single-host parity run
         win_dev = jnp.zeros((), jnp.uint32)
@@ -521,11 +434,11 @@ def partitioned_count_parity(
             mm, hi, lo, rid, stream = batch_records(b)
             if g == 0:
                 win_dev = win_dev + jnp.sum(mm != SENTINEL, dtype=jnp.uint32)
-            gm, gh, gl, gr, gs, ovf = extract_partition_group5(
+            gm, gh, gl, gr, gs, ovf = extract_partition_range5(
                 mm, hi, lo, rid, stream, jnp.uint32(g),
-                partitions=partitions, cap_bp=cap_bp,
+                partitions=partitions, group_size=G, cap_bp=cap_bp,
             )
-            for r in range(GROUP):
+            for r in range(G):
                 staged[r][0].append(gm[r])
                 staged[r][1].append(gh[r])
                 staged[r][2].append(gl[r])
@@ -538,8 +451,8 @@ def partitioned_count_parity(
             if ckpt is not None:
                 np.save(ckpt / "windows_parity.npy", np.int64(n_windows))
 
-        for r in range(GROUP):
-            p = g * GROUP + r
+        for r in range(G):
+            p = g * G + r
             if p >= partitions:
                 continue
             if ckpt is not None and part_path(p).exists():

@@ -168,43 +168,6 @@ def test_partitioned_count_resume(tmp_path):
     assert np.array_equal(np.asarray(a.kmer_lo), np.asarray(b.kmer_lo))
 
 
-def test_extract_partition_group_polyA_edge():
-    """The maximum-hi canonical key (hi = 0x3FFFFFFF, e.g. A^15 T^16 at
-    k=31) must be extracted exactly once and never confused with SENTINEL
-    padding in any tag slot; the union over groups must equal the real
-    input multiset with no phantom records."""
-    import jax.numpy as jnp
-
-    from genome_assembly_tpu.ops import outofcore
-
-    rng = np.random.default_rng(31)
-    n = 256
-    hi = rng.integers(0, 1 << 30, n).astype(np.uint32)
-    lo = rng.integers(0, 1 << 32, n).astype(np.uint32)
-    hi[:5] = 0x3FFFFFFF  # max-hi keys (legal: canonical A^15 T^16 prefix)
-    lo[0] = 0xFFFFFFFE
-    hi[7:40] = 0xFFFFFFFF  # invalid/padding slots
-    want = sorted(
-        (int(a), int(b)) for a, b in zip(hi, lo) if a != 0xFFFFFFFF
-    )
-    for partitions in (3, 5, 6):
-        got = []
-        groups = (partitions + outofcore.GROUP - 1) // outofcore.GROUP
-        for g in range(groups):
-            ghi, glo, ovf = outofcore.extract_partition_group(
-                jnp.asarray(hi), jnp.asarray(lo), jnp.uint32(g),
-                partitions=partitions, cap_bp=n,
-            )
-            assert not bool(np.any(np.asarray(ovf)))
-            for r in range(outofcore.GROUP):
-                a = np.asarray(ghi[r])
-                b = np.asarray(glo[r])
-                got.extend(
-                    (int(x), int(y)) for x, y in zip(a, b) if x != 0xFFFFFFFF
-                )
-        assert sorted(got) == want, partitions
-
-
 def test_extract_partition_range_exhaustive():
     """Range extraction (ops/outofcore.extract_partition_range): the union
     over groups equals the real input multiset for several (partitions,
