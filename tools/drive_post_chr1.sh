@@ -44,6 +44,11 @@ timeout 3600 python tools/bench_presorted.py --records 50e6 \
   > runs/presorted_r3.jsonl 2> runs/presorted_r3.err
 mark "presorted rc=$?"
 
+mark "pallas on-chip artifact start"
+timeout 3600 python tools/check_pallas_onchip.py --out runs/pallas_onchip_r3.jsonl \
+  > /dev/null 2> runs/pallas_onchip_r3.err
+mark "pallas rc=$?"
+
 mark "bench.py start"
 timeout 2400 python bench.py > runs/bench_r3_check.json 2> runs/bench_r3_check.err
 mark "bench rc=$?"
