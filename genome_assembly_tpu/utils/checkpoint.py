@@ -146,13 +146,20 @@ def save_count_shards(
     lanes = list(received[:5])
     ovf = received[5]
     per_shard: dict[int, dict] = {}
-    for name, arr in zip(_SHARD_LANES, lanes):
+
+    def scatter_rows(name, arr):
+        # a device shard may hold SEVERAL global rows (or all of them, if
+        # a concat left the array replicated); key every row by its
+        # global index rather than assuming one row per device
         for s in arr.addressable_shards:
-            g = int(s.index[0].start or 0)
-            per_shard.setdefault(g, {})[name] = np.asarray(s.data)[0]
-    for s in ovf.addressable_shards:
-        g = int(s.index[0].start or 0)
-        per_shard.setdefault(g, {})["ovf"] = np.asarray(s.data)[0]
+            start = int(s.index[0].start or 0)
+            data = np.asarray(s.data)
+            for j in range(data.shape[0]):
+                per_shard.setdefault(start + j, {})[name] = data[j]
+
+    for name, arr in zip(_SHARD_LANES, lanes):
+        scatter_rows(name, arr)
+    scatter_rows("ovf", ovf)
     sent = np.uint32(0xFFFFFFFF)
     for g, got in per_shard.items():
         keep = got["mmer"] != sent
