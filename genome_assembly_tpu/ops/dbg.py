@@ -408,7 +408,8 @@ def build_unitig_links_ooc(
     cap_bp, G = outofcore.range_group_plan(
         n_chunks, rec_per_chunk, partitions=partitions,
         bytes_per_record=12, budget_bytes=group_budget_bytes,
-        group_size=group_size,
+        group_size=group_size, sigma_scale=2.9,  # boundary keys join in
+        # groups of <= 8 per (k-1)-mer: sqrt(8) deviation inflation
     )
     if slack is not None:  # explicit multiplicative override (tests)
         cap_bp = min(
@@ -529,7 +530,8 @@ def build_unitig_links_parked(
     cap_bp, G = outofcore.range_group_plan(
         n_chunks, rec_per_chunk, partitions=partitions,
         bytes_per_record=12, budget_bytes=group_budget_bytes,
-        group_size=group_size,
+        group_size=group_size, sigma_scale=2.9,  # boundary keys join in
+        # groups of <= 8 per (k-1)-mer: sqrt(8) deviation inflation
     )
     if slack is not None:  # explicit multiplicative override (tests)
         cap_bp = min(

@@ -201,17 +201,24 @@ def extract_partition_range3(
 def range_group_plan(
     n_units: int, unit_records: int, *, partitions: int,
     bytes_per_record: int, budget_bytes: int = 6 << 30,
-    group_size: int | None = None,
+    group_size: int | None = None, sigma_scale: float = 1.0,
 ):
     """Shared (cap_bp, group_size) sizing for range-scheme extractions.
 
     cap_bp is statistical (mean + 8 sigma + 64 over the worst-balanced
     partition); group_size fits `units x cap_bp x bytes` staging per
     partition into the budget, clamped to [1, MAX_GROUP, partitions].
+
+    sigma_scale inflates the deviation term for CLUSTERED records: keys
+    arriving in same-partition groups of multiplicity <= M have
+    sqrt(M)-larger per-partition count deviation than independent
+    records (the link builders' boundary keys join in groups of <= 8,
+    measured to overflow the plain-sigma cap at chr1 scale).
     """
     mean = unit_records * np.ceil(65536 / partitions) / 65536
     cap_bp = min(
-        unit_records, int(np.ceil(mean + 8.0 * np.sqrt(mean))) + 64
+        unit_records,
+        int(np.ceil(mean + 8.0 * sigma_scale * np.sqrt(mean))) + 64,
     )
     if group_size is None:
         staged = max(1, n_units * cap_bp * bytes_per_record)
@@ -542,6 +549,8 @@ class PartitionedCount(NamedTuple):
     kept_overflow: bool  # total kept keys exceeded kept_cap (global test)
     group_size: int = 3  # partitions extracted per re-scan pass (chosen
     # from the staging budget; passes = ceil(partitions / group_size))
+    partitions: int = 0  # actual partition count (auto-sized paths pick
+    # their own; 0 = caller's request stands)
 
 
 def partitioned_count(
@@ -769,4 +778,301 @@ def partitioned_count(
         batch_overflows=batch_overflows,
         kept_overflow=n_kept > kept_cap,
         group_size=G,
+        partitions=partitions,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Super-k-mer staging (ops/superkmer.py): compressed out-of-core counting.
+
+SUPER_MAX_GROUP = 128  # the gather-form extractor's group width is memory-
+# bound, not compile-bound (one row gather serves any G), so the cap is a
+# sanity rail only
+
+
+@functools.partial(
+    jax.jit, static_argnames=("partitions", "group_size", "cap_bp")
+)
+def extract_partition_range_super(
+    mm, slen, b0, b1, b2, b3, group, *,
+    partitions: int, group_size: int, cap_bp: int
+):
+    """RANGE extraction of super-k-mer records, partitioned by MINIMIZER.
+
+    All of a canonical k-mer's occurrences share its minimizer (fast_scan's
+    minimizer is a function of the window bases), so hashing the mmer lane
+    keeps k-mer groups complete per partition -- the KMC signature
+    argument.  Unlike the key extractors, this one sorts only (hash,
+    position) and fetches records with ONE row gather, so group width is
+    a pure memory decision (row gathers are the cheap TPU gather form,
+    NOTES.md gather economics).
+
+    Returns ([G, cap_bp] x 6 lanes, overflows [G]).
+    """
+    G = group_size
+    n = mm.shape[0]
+    h = (mm * _HASH_A) ^ (mm * _HASH_B)
+    keep = mm != SENTINEL
+    comp = jnp.where(keep, jnp.minimum(h, jnp.uint32(0xFFFFFFFE)), SENTINEL)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    comp_s, pos_s = lax.sort((comp, pos), num_keys=1)
+    rows = jnp.stack([mm, slen, b0, b1, b2, b3], axis=1)  # [n, 6]
+    p0 = group.astype(jnp.uint32) * jnp.uint32(G)
+    pids = p0 + jnp.arange(G, dtype=jnp.uint32)
+    bounds = jnp.searchsorted(
+        comp_s, _range_lower_bound(pids, partitions), side="left"
+    ).astype(jnp.int32)
+    starts = jnp.clip(bounds, 0, max(n - cap_bp, 0))
+    idx = starts[:, None] + jnp.arange(cap_bp, dtype=jnp.int32)[None, :]
+    comp_g = comp_s[idx]  # [G, cap]
+    recs = rows[pos_s[idx]]  # ONE [G*cap, 6] row gather
+    P = jnp.uint32(partitions)
+    member = (
+        (((comp_g >> 16) * P) >> 16 == pids[:, None])
+        & (comp_g != SENTINEL)
+    )
+    outs = tuple(
+        jnp.where(member, recs[..., j], SENTINEL) for j in range(6)
+    )
+    probe = jnp.clip(bounds + cap_bp, 0, n - 1)
+    cp = comp_s[probe]
+    ovf = (
+        (((cp >> 16) * P) >> 16 == pids)
+        & (cp != SENTINEL)
+        & (bounds + cap_bp < n)
+    )
+    return outs + (ovf,)
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff", "k", "m", "chunk"))
+def _count_super_partition(lanes, *, cutoff: int, k: int, m: int, chunk: int):
+    """Expand one partition's records chunk-wise and count the windows."""
+    from genome_assembly_tpu.ops import superkmer
+
+    n = lanes[0].shape[0]
+    n_chunks = (n + chunk - 1) // chunk
+    pad = n_chunks * chunk - n
+    padded = [
+        jnp.concatenate([x, jnp.full((pad,), SENTINEL, jnp.uint32)])
+        for x in lanes
+    ]
+    his, los = [], []
+    for c in range(n_chunks):
+        s = c * chunk
+        hi, lo = superkmer.expand_records(
+            *(x[s : s + chunk] for x in padded), k=k, m=m
+        )
+        his.append(hi)
+        los.append(lo)
+    hi_all = jnp.concatenate(his)
+    recs = WindowRecords(
+        mmer=jnp.zeros((0,), jnp.uint32),
+        kmer_hi=hi_all,
+        kmer_lo=jnp.concatenate(los),
+        valid=hi_all != SENTINEL,
+    )
+    kc = count_ops.count_keys(recs, cutoff=cutoff)
+    khi, klo, valid = count_ops.kept_keys_sorted(kc)
+    n_distinct = jnp.sum(kc.group_start & kc.valid)
+    n_kept = jnp.sum(kc.keep)
+    return khi, klo, n_distinct, n_kept
+
+
+def partitioned_count_super(
+    batch_super: Callable[[int], tuple],
+    n_batches: int,
+    *,
+    k: int,
+    m: int,
+    partitions: int = 0,
+    cutoff: int,
+    kept_cap: int,
+    slack: float | None = None,
+    group_size: int | None = None,
+    group_budget_bytes: int = 8 << 30,
+    expand_slots_budget: int = 128 << 20,
+    expand_chunk: int = 1 << 20,
+    checkpoint_dir: str | None = None,
+    return_host: bool = False,
+) -> PartitionedCount:
+    """Out-of-core counting over SUPER-K-MER records (ops/superkmer.py).
+
+    batch_super(i) -> the 6 flat record lanes of batch i
+    (superkmer.super_records output).  Staging a record costs 24 B for
+    ~10 windows (k=31, m=7 measured) instead of 8 B per window, so each
+    re-scan pass extracts ~3-4x more partitions within the same staging
+    budget and the pass count -- the dominant out-of-core cost -- drops
+    accordingly.  Partitioning hashes the MINIMIZER (all occurrences of a
+    k-mer share it), and each partition expands its records back to
+    windows chunk-wise on device before the normal sort-count.
+
+    partitions=0 sizes partitions so one partition's EXPANDED window
+    slots fit ``expand_slots_budget`` (the count-sort working set);
+    records per batch are estimated from the probe batch.  Returns the
+    same PartitionedCount as partitioned_count; kept keys across
+    partitions are disjoint because a k-mer lives in exactly one
+    minimizer partition.
+    """
+    from genome_assembly_tpu.ops import superkmer
+
+    probe = batch_super(0)
+    batch_slots = int(probe[0].shape[0])
+    mm0 = np.asarray(probe[0])
+    mm0 = mm0[mm0 != SENTINEL].astype(np.uint32)
+    n_rec0 = int(mm0.size)
+    if partitions == 0:
+        total_recs = max(n_rec0 * n_batches, 1)
+        per_part = max(expand_slots_budget // superkmer.S_CAP, 1)
+        partitions = int(np.ceil(1.1 * total_recs / per_part))
+    partitions = max(partitions, 1)
+    # Record caps come from the probe batch's ACTUAL per-partition
+    # histogram, not a uniform-hash model: records cluster by minimizer
+    # and minimizer mass is skewed (NOTES.md: 33 bins held 102k records
+    # on reads.txt), so the worst partition's load, with a drift margin,
+    # is the honest cap.  Overflow stays exactly detected regardless.
+    h0 = (mm0 * _HASH_A) ^ (mm0 * _HASH_B)
+    pid0 = ((h0 >> np.uint32(16)) * np.uint32(partitions)) >> np.uint32(16)
+    peak = int(np.bincount(pid0, minlength=partitions).max()) if n_rec0 else 1
+    cap_bp = min(
+        batch_slots,
+        int(np.ceil(1.25 * peak + 8.0 * np.sqrt(max(peak, 1)))) + 64,
+    )
+    if slack is not None:
+        cap_bp = min(batch_slots, int(np.ceil(peak * slack)) + 1)
+    if group_size is None:
+        staged = max(1, n_batches * cap_bp * 24)
+        group_size = int(max(1, min(SUPER_MAX_GROUP, group_budget_bytes // staged)))
+    G = min(group_size, partitions)
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        import json
+        import pathlib
+
+        ckpt = pathlib.Path(checkpoint_dir)
+        ckpt.mkdir(parents=True, exist_ok=True)
+        fp = {
+            "format": 3,
+            "scheme": "super-range16",
+            "partitions": partitions,
+            "cutoff": cutoff,
+            "k": k,
+            "m": m,
+            "s_cap": superkmer.S_CAP,
+            "n_batches": n_batches,
+            "batch_slots": batch_slots,
+        }
+        meta_path = ckpt / "meta.json"
+        if meta_path.exists():
+            old = json.loads(meta_path.read_text())
+            if old != fp:
+                raise ValueError(
+                    f"checkpoint_dir {ckpt} was written by a different "
+                    f"configuration: {old} != {fp}; use a fresh directory"
+                )
+        else:
+            meta_path.write_text(json.dumps(fp))
+
+    def part_usable(p):
+        path = ckpt / f"part_{p}.npz"
+        if not path.exists():
+            return False
+        return int(np.load(path)["batch_overflows"]) == 0
+
+    def load_part(p):
+        saved = np.load(ckpt / f"part_{p}.npz")
+        return (
+            saved["khi"], saved["klo"], int(saved["n_distinct"]),
+            int(saved["n_kept"]), int(saved["batch_overflows"]),
+        )
+
+    khi_parts, klo_parts = [], []
+    n_distinct = 0
+    n_kept = 0
+    batch_overflows = 0
+    n_groups = (partitions + G - 1) // G
+    for g in range(n_groups):
+        group_parts = [p for p in range(g * G, min((g + 1) * G, partitions))]
+        missing = [
+            p for p in group_parts if ckpt is None or not part_usable(p)
+        ]
+        if not missing:
+            for p in group_parts:
+                khi, klo, nd, nk, bo = load_part(p)
+                khi_parts.append(khi)
+                klo_parts.append(klo)
+                n_distinct += nd
+                n_kept += nk
+                batch_overflows += bo
+            continue
+
+        pieces = [[[] for _ in range(6)] for _ in range(G)]
+        ovf_dev = jnp.zeros((G,), jnp.int32)
+        for b in range(n_batches):
+            lanes = batch_super(b)
+            out = extract_partition_range_super(
+                *lanes, jnp.uint32(g),
+                partitions=partitions, group_size=G, cap_bp=cap_bp,
+            )
+            for r in range(G):
+                for j in range(6):
+                    pieces[r][j].append(out[j][r])
+            ovf_dev = ovf_dev + out[6].astype(jnp.int32)
+        group_overflows = np.asarray(ovf_dev)
+
+        for r in range(G):
+            p = g * G + r
+            if p >= partitions:
+                continue
+            if ckpt is not None and part_usable(p):
+                khi, klo, nd, nk, bo = load_part(p)
+                khi_parts.append(khi)
+                klo_parts.append(klo)
+                n_distinct += nd
+                n_kept += nk
+                batch_overflows += bo
+                continue
+            pass_overflows = int(group_overflows[r])
+            batch_overflows += pass_overflows
+            cat = tuple(jnp.concatenate(pieces[r][j]) for j in range(6))
+            pieces[r] = None
+            khi, klo, nd, nk = _count_super_partition(
+                cat, cutoff=cutoff, k=k, m=m, chunk=expand_chunk
+            )
+            del cat
+            n_distinct_p = int(nd)
+            n_kept_p = int(nk)
+            n_distinct += n_distinct_p
+            n_kept += n_kept_p
+            khi_parts.append(np.asarray(khi[:n_kept_p]))
+            klo_parts.append(np.asarray(klo[:n_kept_p]))
+            del khi, klo
+            if ckpt is not None:
+                tmp = ckpt / f"part_{p}.tmp.npz"
+                np.savez_compressed(
+                    tmp,
+                    khi=khi_parts[-1],
+                    klo=klo_parts[-1],
+                    n_distinct=np.int64(n_distinct_p),
+                    n_kept=np.int64(n_kept_p),
+                    batch_overflows=np.int64(pass_overflows),
+                )
+                tmp.rename(ckpt / f"part_{p}.npz")
+
+    kmer_hi = np.concatenate([np.asarray(a, np.uint32) for a in khi_parts])
+    kmer_lo = np.concatenate([np.asarray(a, np.uint32) for a in klo_parts])
+    if not return_host:
+        kmer_hi = jnp.asarray(kmer_hi)
+        kmer_lo = jnp.asarray(kmer_lo)
+    valid = kmer_hi != SENTINEL
+    return PartitionedCount(
+        kmer_hi=kmer_hi,
+        kmer_lo=kmer_lo,
+        valid=valid,
+        n_distinct=n_distinct,
+        n_kept=n_kept,
+        batch_overflows=batch_overflows,
+        kept_overflow=n_kept > kept_cap,
+        group_size=G,
+        partitions=partitions,
     )

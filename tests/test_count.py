@@ -396,3 +396,109 @@ def test_extract_partition_range3_exhaustive():
                     for x, y, z in zip(a, b, c) if x != 0xFFFFFFFF
                 )
         assert sorted(got) == want, (partitions, group_size)
+
+
+def test_partitioned_count_super_matches_direct():
+    """Super-k-mer out-of-core counting (minimizer-partitioned compressed
+    staging, ops/superkmer.py) returns exactly the direct count's
+    distinct/kept totals and kept key set, across partition/group shapes,
+    including reads with short lengths and long single-minimizer runs."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import count as count_ops
+    from genome_assembly_tpu.ops import minimizer, outofcore, superkmer
+
+    k, m, cutoff = 31, 7, 1
+    rng = np.random.default_rng(61)
+    genome = rng.integers(0, 4, size=4000, dtype=np.uint8)
+    genome[100:300] = 3  # a poly-A region: long minimizer runs, split paths
+    n_batches, batch, L = 4, 64, 128
+    starts = rng.integers(0, len(genome) - L, size=(n_batches, batch))
+    lengths = rng.integers(k, L + 1, size=(n_batches, batch)).astype(np.int32)
+
+    def codes_of(b):
+        return (
+            jnp.asarray(np.stack([genome[s : s + L] for s in starts[b]])),
+            jnp.asarray(lengths[b]),
+        )
+
+    def batch_super(b):
+        c, le = codes_of(b)
+        return superkmer.super_records(c, le, k=k, m=m)
+
+    his, los = [], []
+    for b in range(n_batches):
+        c, le = codes_of(b)
+        recs = minimizer.fast_scan(c, le, k=k, m=m)
+        sent = jnp.uint32(0xFFFFFFFF)
+        his.append(jnp.where(recs.valid, recs.kmer_hi, sent).reshape(-1))
+        los.append(jnp.where(recs.valid, recs.kmer_lo, sent).reshape(-1))
+    hi = jnp.concatenate(his)
+    recs_all = minimizer.WindowRecords(
+        mmer=jnp.zeros((0,), jnp.uint32), kmer_hi=hi,
+        kmer_lo=jnp.concatenate(los), valid=hi != jnp.uint32(0xFFFFFFFF),
+    )
+    kc = count_ops.count_keys(recs_all, cutoff=cutoff)
+    khi, klo, valid = count_ops.kept_keys_sorted(kc)
+    want = {
+        (int(a), int(b2))
+        for a, b2, v in zip(np.asarray(khi), np.asarray(klo), np.asarray(valid))
+        if v
+    }
+    want_counts = (
+        int(np.sum(np.asarray(kc.group_start & kc.valid))),
+        int(np.sum(np.asarray(kc.keep))),
+    )
+
+    for partitions, group_size in ((0, None), (6, 2), (6, 64), (17, 5)):
+        pc = outofcore.partitioned_count_super(
+            batch_super, n_batches, k=k, m=m, partitions=partitions,
+            cutoff=cutoff, kept_cap=65536, group_size=group_size,
+            expand_chunk=512,
+        )
+        assert pc.batch_overflows == 0 and not pc.kept_overflow
+        assert (pc.n_distinct, pc.n_kept) == want_counts, (
+            partitions, group_size, pc.n_distinct, pc.n_kept)
+        got = {
+            (int(a), int(b2))
+            for a, b2, v in zip(
+                np.asarray(pc.kmer_hi), np.asarray(pc.kmer_lo),
+                np.asarray(pc.valid),
+            )
+            if v
+        }
+        assert got == want, (partitions, group_size)
+
+
+def test_partitioned_count_super_resume(tmp_path):
+    """Super-mode partition checkpoints resume across group retunes."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import outofcore, superkmer
+
+    k, m = 15, 7
+    rng = np.random.default_rng(67)
+    genome = rng.integers(0, 4, size=1500, dtype=np.uint8)
+    starts = rng.integers(0, len(genome) - 64, size=(2, 32))
+    calls = []
+
+    def batch_super(b):
+        calls.append(b)
+        codes = np.stack([genome[s : s + 64] for s in starts[b]])
+        return superkmer.super_records(
+            jnp.asarray(codes), jnp.full((32,), 64, jnp.int32), k=k, m=m
+        )
+
+    kw = dict(k=k, m=m, partitions=5, cutoff=0, kept_cap=8192,
+              expand_chunk=256, checkpoint_dir=str(tmp_path))
+    a = outofcore.partitioned_count_super(batch_super, 2, group_size=2, **kw)
+    assert a.batch_overflows == 0
+    calls.clear()
+    b = outofcore.partitioned_count_super(batch_super, 2, group_size=4, **kw)
+    assert calls == [0]  # probe only: every partition resumed
+    assert (a.n_distinct, a.n_kept) == (b.n_distinct, b.n_kept)
+    got_a = sorted(zip(np.asarray(a.kmer_hi).tolist(),
+                       np.asarray(a.kmer_lo).tolist()))
+    got_b = sorted(zip(np.asarray(b.kmer_hi).tolist(),
+                       np.asarray(b.kmer_lo).tolist()))
+    assert got_a == got_b

@@ -80,6 +80,15 @@ def main() -> int:
         "(ops/outofcore.partitioned_count group sizing)",
     )
     ap.add_argument(
+        "--super",
+        action="store_true",
+        dest="super_records",
+        help="stage the out-of-core count as SUPER-K-MER records "
+        "(ops/superkmer.py): ~10 windows per 24 B record at k=31/m=7, so "
+        "each re-scan pass extracts ~3-4x more partitions per staging "
+        "budget and the pass count drops accordingly",
+    )
+    ap.add_argument(
         "--pallas-sort",
         action="store_true",
         help="count with the hybrid XLA-chunk + Pallas-merge sort "
@@ -241,25 +250,56 @@ def main() -> int:
         # out-of-core: re-scan per pass; scan+count are interleaved
         from genome_assembly_tpu.ops import outofcore
 
-        emit("outofcore", partitions=partitions)
         t0 = time.perf_counter()
-        pc = outofcore.partitioned_count(
-            lambda b: simulate_and_scan(genome, kr, b),
-            n_batches,
-            partitions=partitions,
-            cutoff=CUTOFF,
-            kept_cap=kept_cap,
-            group_budget_bytes=int(args.group_budget_gb * (1 << 30)),
-            pallas_sort=args.pallas_sort,
-            checkpoint_dir=args.checkpoint_dir or None,
-            return_host=args.park_keys,
-        )
+        if args.super_records:
+            from genome_assembly_tpu.ops import superkmer
+
+            @jax.jit
+            def simulate_super(genome, kr, batch_idx):
+                kb = jax.random.fold_in(kr, batch_idx)
+                starts = jax.random.randint(
+                    kb, (batch,), 0, G - read_len, dtype=jnp.int32
+                )
+                offs = jax.lax.broadcasted_iota(jnp.int32, (batch, read_len), 1)
+                reads = genome[starts[:, None] + offs]
+                codes = jnp.zeros((batch, L), dtype=jnp.uint8)
+                codes = codes.at[:, :read_len].set(reads)
+                lengths = jnp.full((batch,), read_len, dtype=jnp.int32)
+                return superkmer.super_records(codes, lengths, k=K, m=M)
+
+            emit("outofcore_super", requested_partitions=partitions)
+            pc = outofcore.partitioned_count_super(
+                lambda b: simulate_super(genome, kr, b),
+                n_batches,
+                k=K,
+                m=M,
+                partitions=0,  # sized from the expansion budget + probe
+                cutoff=CUTOFF,
+                kept_cap=kept_cap,
+                group_budget_bytes=int(args.group_budget_gb * (1 << 30)),
+                checkpoint_dir=args.checkpoint_dir or None,
+                return_host=args.park_keys,
+            )
+        else:
+            emit("outofcore", partitions=partitions)
+            pc = outofcore.partitioned_count(
+                lambda b: simulate_and_scan(genome, kr, b),
+                n_batches,
+                partitions=partitions,
+                cutoff=CUTOFF,
+                kept_cap=kept_cap,
+                group_budget_bytes=int(args.group_budget_gb * (1 << 30)),
+                pallas_sort=args.pallas_sort,
+                checkpoint_dir=args.checkpoint_dir or None,
+                return_host=args.park_keys,
+            )
         assert pc.batch_overflows == 0, "raise outofcore slack"
         assert not pc.kept_overflow, f"raise kept_cap (kept={pc.n_kept})"
         khi, klo, valid = pc.kmer_hi, pc.kmer_lo, pc.valid
         kept_cap = khi.shape[0]
         n_distinct, n_kept = pc.n_distinct, pc.n_kept
         group_size = pc.group_size
+        partitions = pc.partitions or partitions
         pc = None  # the NamedTuple aliases the key arrays; drop it so
         # del khi/klo in the extension branch actually frees device HBM
         # out-of-core interleaves re-scan and count passes, so the split
@@ -276,6 +316,7 @@ def main() -> int:
             distinct=n_distinct,
             kept=n_kept,
             group_size=group_size,
+            partitions=partitions,
             passes=-(-partitions // group_size),
         )
     else:
