@@ -16,8 +16,14 @@ import numpy as np
 # sorts after every real record.
 SENTINEL = np.uint32(0xFFFFFFFF)
 
-# Multiplicative mixing constants (Knuth / golden ratio) for key -> owner
-# hashing; used consistently so partition/ownership decisions agree across
-# modules that must colocate the same keys.
-HASH_A = np.uint32(2654435761)
-HASH_B = np.uint32(0x9E3779B1)
+# Multiplicative mixing constants for key -> owner hashing; used
+# consistently so partition/ownership decisions agree across modules that
+# must colocate the same keys.  The two constants MUST differ: round-3
+# shipped HASH_B = 0x9E3779B1 = 2654435761 -- the SAME golden-ratio
+# constant in hex and decimal -- which made every same-operand hash
+# (x*A)^(x*B) identically zero (the super-k-mer partitioner sent ALL
+# records to partition 0) and every two-lane hash (hi*A)^(lo*B) symmetric
+# in its lanes; the weakened mixing is the measured source of the chr1
+# link-partition cap overflow.  HASH_B is now the Murmur3 fmix32 constant.
+HASH_A = np.uint32(2654435761)  # Knuth golden ratio, 0x9E3779B1
+HASH_B = np.uint32(0x85EBCA6B)  # Murmur3 fmix32

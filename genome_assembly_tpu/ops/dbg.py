@@ -359,6 +359,51 @@ def _scatter_edges(next_state, src, dst):
     return next_state.at[loc].set(dst, mode="drop", unique_indices=True)
 
 
+def _reextract_partition3(
+    chunk_records, n_chunks: int, p: int, *,
+    partitions: int, cap0: int, rec_per_chunk: int,
+):
+    """Re-extract ONE partition whose statistical staging cap overflowed.
+
+    The group extraction's cap_bp is statistical (mean + 8 sigma over the
+    worst-balanced range bucket, ops/outofcore.range_group_plan); a missed
+    tail at chromosome scale used to abort the run AFTER the multi-hour
+    count (runs/chr1_range_r3: "raise link slack").  Instead the builders
+    now withhold an overflowed partition's edges and call this: one extra
+    sweep over the chunks with group_size=1 and a doubled cap, escalating
+    until clean.  cap >= rec_per_chunk cannot overflow (the slice covers
+    the whole chunk), so the loop terminates.  Staging for the retry is
+    n_chunks x cap slots -- about two partitions' worth at the first
+    escalation, far below the group budget that just freed.
+    """
+    import logging
+
+    from genome_assembly_tpu.ops import outofcore
+
+    cap = cap0
+    while True:
+        cap = min(rec_per_chunk, max(2 * cap, 1024))
+        logging.getLogger(__name__).warning(
+            "link partition %d overflowed its staging cap; re-extracting "
+            "alone at cap=%d", p, cap,
+        )
+        hs, ls, ps = [], [], []
+        ovf_dev = jnp.zeros((1,), jnp.int32)
+        for c in range(n_chunks):
+            rk_hi, rk_lo, rpay = chunk_records(c)
+            ghi, glo, gpay, ovf = outofcore.extract_partition_range3(
+                rk_hi, rk_lo, rpay, jnp.uint32(p),
+                partitions=partitions, group_size=1, cap_bp=cap,
+            )
+            hs.append(ghi[0])
+            ls.append(glo[0])
+            ps.append(gpay[0])
+            ovf_dev = ovf_dev + ovf.astype(jnp.int32)
+        if cap >= rec_per_chunk or int(ovf_dev[0]) == 0:
+            return jnp.concatenate(hs), jnp.concatenate(ls), jnp.concatenate(ps)
+        hs = ls = ps = None  # free before the next escalation
+
+
 def build_unitig_links_ooc(
     khi: jnp.ndarray,
     klo: jnp.ndarray,
@@ -417,6 +462,17 @@ def build_unitig_links_ooc(
             int(np.ceil(rec_per_chunk / partitions * slack)) + 1,
         )
 
+    def chunk_records(c):
+        s = c * chunk_nodes
+        return _chunk_boundary_records(
+            khi[s : s + chunk_nodes],
+            klo[s : s + chunk_nodes],
+            valid[s : s + chunk_nodes],
+            jnp.int32(s),
+            k=k,
+            chunk_nodes=chunk_nodes,
+        )
+
     next_state = jnp.full(2 * n_padded, -1, dtype=jnp.int32)
     ovf_total = 0
     n_groups = (partitions + G - 1) // G
@@ -424,15 +480,7 @@ def build_unitig_links_ooc(
         pieces = [([], [], []) for _ in range(G)]
         ovf_dev = jnp.zeros((G,), jnp.int32)
         for c in range(n_chunks):
-            s = c * chunk_nodes
-            rk_hi, rk_lo, rpay = _chunk_boundary_records(
-                khi[s : s + chunk_nodes],
-                klo[s : s + chunk_nodes],
-                valid[s : s + chunk_nodes],
-                jnp.int32(s),
-                k=k,
-                chunk_nodes=chunk_nodes,
-            )
+            rk_hi, rk_lo, rpay = chunk_records(c)
             ghi, glo, gpay, ovf = outofcore.extract_partition_range3(
                 rk_hi, rk_lo, rpay, jnp.uint32(g),
                 partitions=partitions, group_size=G, cap_bp=cap_bp,
@@ -442,16 +490,38 @@ def build_unitig_links_ooc(
                 pieces[r][1].append(glo[r])
                 pieces[r][2].append(gpay[r])
             ovf_dev = ovf_dev + ovf.astype(jnp.int32)
-        ovf_total += int(jnp.sum(ovf_dev))
+        ovf_host = np.asarray(ovf_dev)
 
+        overflowed = []
         for r in range(G):
             p = g * G + r
             if p >= partitions:
+                pieces[r] = None
                 continue
+            if slack is None and int(ovf_host[r]):
+                # statistical cap missed this partition: its staged records
+                # are incomplete, so NO edges from it were scattered; queue
+                # a single-partition re-extraction with an escalated cap
+                # (after the group's staging frees) instead of failing the
+                # whole run.
+                pieces[r] = None
+                overflowed.append(p)
+                continue
+            ovf_total += int(ovf_host[r])
             cat_hi = jnp.concatenate(pieces[r][0])
             cat_lo = jnp.concatenate(pieces[r][1])
             cat_pay = jnp.concatenate(pieces[r][2])
             pieces[r] = None  # free staging before the partition sort
+            src, dst = _partition_edges(cat_hi, cat_lo, cat_pay)
+            del cat_hi, cat_lo, cat_pay
+            next_state = _scatter_edges(next_state, src, dst)
+            del src, dst
+        for p in overflowed:
+            cat_hi, cat_lo, cat_pay = _reextract_partition3(
+                chunk_records, n_chunks, p,
+                partitions=partitions, cap0=cap_bp,
+                rec_per_chunk=rec_per_chunk,
+            )
             src, dst = _partition_edges(cat_hi, cat_lo, cat_pay)
             del cat_hi, cat_lo, cat_pay
             next_state = _scatter_edges(next_state, src, dst)
@@ -539,29 +609,48 @@ def build_unitig_links_parked(
             int(np.ceil(rec_per_chunk / partitions * slack)) + 1,
         )
 
+    def chunk_records(c):
+        s = c * chunk_nodes
+        chi = khi[s : s + chunk_nodes]
+        clo = klo[s : s + chunk_nodes]
+        cva = valid[s : s + chunk_nodes]
+        if keys_hosted:
+            chi, clo, cva = (
+                jax.device_put(chi), jax.device_put(clo), jax.device_put(cva)
+            )
+        return _chunk_boundary_records(
+            chi, clo, cva, jnp.int32(c * chunk_nodes), k=k,
+            chunk_nodes=chunk_nodes,
+        )
+
     if park_links:
         next_host = np.full(2 * n_padded, -1, dtype=np.int32)
         next_state = None
     else:
         next_state = jnp.full(2 * n_padded, -1, dtype=jnp.int32)
+
+    def emit_partition(cat_hi, cat_lo, cat_pay):
+        nonlocal next_state
+        src, dst = _partition_edges(cat_hi, cat_lo, cat_pay)
+        if park_links:
+            src_c, dst_c, n_edges = _compact_edges(src, dst)
+            del src, dst
+            ne = int(n_edges)  # hard sync; sort temporaries freed
+            src_h = np.asarray(src_c[:ne]).astype(np.int64)
+            dst_h = np.asarray(dst_c[:ne]).astype(np.int32)
+            del src_c, dst_c
+            next_host[src_h] = dst_h
+        else:
+            next_state = _scatter_edges(next_state, src, dst)
+            del src, dst
+
     ovf_total = 0
     n_groups = (partitions + G - 1) // G
     for g in range(n_groups):
         pieces = [([], [], []) for _ in range(G)]
         ovf_dev = jnp.zeros((G,), jnp.int32)
         for c in range(n_chunks):
-            s = c * chunk_nodes
-            chi = khi[s : s + chunk_nodes]
-            clo = klo[s : s + chunk_nodes]
-            cva = valid[s : s + chunk_nodes]
-            if keys_hosted:
-                chi, clo, cva = (
-                    jax.device_put(chi), jax.device_put(clo), jax.device_put(cva)
-                )
-            rk_hi, rk_lo, rpay = _chunk_boundary_records(
-                chi, clo, cva, jnp.int32(s), k=k, chunk_nodes=chunk_nodes
-            )
-            del chi, clo, cva
+            rk_hi, rk_lo, rpay = chunk_records(c)
             ghi, glo, gpay, ovf = outofcore.extract_partition_range3(
                 rk_hi, rk_lo, rpay, jnp.uint32(g),
                 partitions=partitions, group_size=G, cap_bp=cap_bp,
@@ -571,29 +660,37 @@ def build_unitig_links_parked(
                 pieces[r][1].append(glo[r])
                 pieces[r][2].append(gpay[r])
             ovf_dev = ovf_dev + ovf.astype(jnp.int32)
-        ovf_total += int(jnp.sum(ovf_dev))
+        ovf_host = np.asarray(ovf_dev)
 
+        overflowed = []
         for r in range(G):
             p = g * G + r
             if p >= partitions:
+                pieces[r] = None
                 continue
+            if slack is None and int(ovf_host[r]):
+                # statistical cap missed: withhold this partition's edges
+                # (its staging is incomplete) and re-extract it alone with
+                # an escalated cap once the group's staging frees -- see
+                # _reextract_partition3.
+                pieces[r] = None
+                overflowed.append(p)
+                continue
+            ovf_total += int(ovf_host[r])
             cat_hi = jnp.concatenate(pieces[r][0])
             cat_lo = jnp.concatenate(pieces[r][1])
             cat_pay = jnp.concatenate(pieces[r][2])
             pieces[r] = None  # free staging before the partition sort
-            src, dst = _partition_edges(cat_hi, cat_lo, cat_pay)
+            emit_partition(cat_hi, cat_lo, cat_pay)
             del cat_hi, cat_lo, cat_pay
-            if park_links:
-                src_c, dst_c, n_edges = _compact_edges(src, dst)
-                del src, dst
-                ne = int(n_edges)  # hard sync; sort temporaries freed
-                src_h = np.asarray(src_c[:ne]).astype(np.int64)
-                dst_h = np.asarray(dst_c[:ne]).astype(np.int32)
-                del src_c, dst_c
-                next_host[src_h] = dst_h
-            else:
-                next_state = _scatter_edges(next_state, src, dst)
-                del src, dst
+        for p in overflowed:
+            cat_hi, cat_lo, cat_pay = _reextract_partition3(
+                chunk_records, n_chunks, p,
+                partitions=partitions, cap0=cap_bp,
+                rec_per_chunk=rec_per_chunk,
+            )
+            emit_partition(cat_hi, cat_lo, cat_pay)
+            del cat_hi, cat_lo, cat_pay
     if park_links:
         return next_host[: 2 * n], ovf_total
     return next_state[: 2 * n], ovf_total

@@ -198,6 +198,43 @@ def extract_partition_range3(
     return jnp.stack(his), jnp.stack(los), jnp.stack(pays), jnp.stack(ovfs)
 
 
+def _reextract_partition2(
+    batch_keys, n_batches: int, p: int, *,
+    partitions: int, cap0: int, batch_slots: int,
+):
+    """Re-extract ONE partition whose statistical staging cap overflowed.
+
+    Same self-healing contract as ops/dbg._reextract_partition3 but for
+    the 2-lane count records: sweep the batches again extracting only
+    partition ``p`` with a doubled cap, escalating until clean (cap >=
+    batch_slots cannot overflow).  Called by partitioned_count instead of
+    surfacing a fatal overflow after a multi-hour chromosome-scale pass.
+    """
+    import logging
+
+    cap = cap0
+    while True:
+        cap = min(batch_slots, max(2 * cap, 1024))
+        logging.getLogger(__name__).warning(
+            "count partition %d overflowed its staging cap; re-extracting "
+            "alone at cap=%d", p, cap,
+        )
+        hs, ls = [], []
+        ovf_dev = jnp.zeros((1,), jnp.int32)
+        for b in range(n_batches):
+            hi, lo = batch_keys(b)
+            ghi, glo, ovf = extract_partition_range(
+                hi, lo, jnp.uint32(p),
+                partitions=partitions, group_size=1, cap_bp=cap,
+            )
+            hs.append(ghi[0])
+            ls.append(glo[0])
+            ovf_dev = ovf_dev + ovf.astype(jnp.int32)
+        if cap >= batch_slots or int(ovf_dev[0]) == 0:
+            return jnp.concatenate(hs), jnp.concatenate(ls)
+        hs = ls = None  # free before the next escalation
+
+
 def range_group_plan(
     n_units: int, unit_records: int, *, partitions: int,
     bytes_per_record: int, budget_bytes: int = 6 << 30,
@@ -629,11 +666,14 @@ def partitioned_count(
         ckpt.mkdir(parents=True, exist_ok=True)
         # fingerprint: partition checkpoints are only valid for the exact
         # run parameters (a different partition count remaps every key).
-        # "format": 3 = range partition scheme; group width and staging
+        # "format": 4 = range partition scheme with distinct HASH_A/HASH_B
+        # mixing constants (partition contents depend on the hash, so the
+        # round-3 same-constant bug's checkpoints must not resume); group
+        # width and staging
         # caps do not affect partition contents and are not fingerprinted
         # (overflowed partitions are recounted on load instead).
         fp = {
-            "format": 3,
+            "format": 4,
             "scheme": "range16",
             "partitions": partitions,
             "cutoff": cutoff,
@@ -710,23 +750,9 @@ def partitioned_count(
             ovf_dev = ovf_dev + ovf.astype(jnp.int32)
         group_overflows = np.asarray(ovf_dev)
 
-        for r in range(G):
-            p = g * G + r
-            if p >= partitions:
-                continue
-            if ckpt is not None and part_usable(p):
-                khi, klo, nd, nk, bo = load_part(p)
-                khi_parts.append(khi)
-                klo_parts.append(klo)
-                n_distinct += nd
-                n_kept += nk
-                batch_overflows += bo
-                continue
-            pass_overflows = int(group_overflows[r])
+        def count_partition(p, cat_hi, cat_lo, pass_overflows):
+            nonlocal n_distinct, n_kept, batch_overflows
             batch_overflows += pass_overflows
-            cat_hi = jnp.concatenate(pieces_hi[r])
-            cat_lo = jnp.concatenate(pieces_lo[r])
-            pieces_hi[r] = pieces_lo[r] = None  # free staging before count
             recs = WindowRecords(
                 mmer=jnp.zeros((0,), jnp.uint32),
                 kmer_hi=cat_hi,
@@ -749,7 +775,6 @@ def partitioned_count(
             # pass's arrays before the next group's staging begins
             khi_parts.append(np.asarray(khi[:n_kept_p]))
             klo_parts.append(np.asarray(klo[:n_kept_p]))
-            del khi, klo
             if ckpt is not None:
                 # savez appends ".npz" unless the name already ends with it
                 tmp = ckpt / f"part_{p}.tmp.npz"
@@ -762,6 +787,44 @@ def partitioned_count(
                     batch_overflows=np.int64(pass_overflows),
                 )
                 tmp.rename(ckpt / f"part_{p}.npz")
+
+        overflowed = []
+        for r in range(G):
+            p = g * G + r
+            if p >= partitions:
+                pieces_hi[r] = pieces_lo[r] = None
+                continue
+            if ckpt is not None and part_usable(p):
+                pieces_hi[r] = pieces_lo[r] = None
+                khi, klo, nd, nk, bo = load_part(p)
+                khi_parts.append(khi)
+                klo_parts.append(klo)
+                n_distinct += nd
+                n_kept += nk
+                batch_overflows += bo
+                continue
+            pass_overflows = int(group_overflows[r])
+            if slack is None and pass_overflows:
+                # statistical cap missed this partition: its staged records
+                # are incomplete, so counting them would be silently wrong.
+                # Queue a single-partition re-extraction with an escalated
+                # cap (after the group's clean partitions free their
+                # staging) instead of surfacing a fatal overflow after
+                # hours of chromosome-scale passes.
+                pieces_hi[r] = pieces_lo[r] = None
+                overflowed.append(p)
+                continue
+            cat_hi = jnp.concatenate(pieces_hi[r])
+            cat_lo = jnp.concatenate(pieces_lo[r])
+            pieces_hi[r] = pieces_lo[r] = None  # free staging before count
+            count_partition(p, cat_hi, cat_lo, pass_overflows)
+        for p in overflowed:
+            cat_hi, cat_lo = _reextract_partition2(
+                batch_keys, n_batches, p,
+                partitions=partitions, cap0=cap_bp,
+                batch_slots=batch_slots,
+            )
+            count_partition(p, cat_hi, cat_lo, 0)
 
     kmer_hi = np.concatenate([np.asarray(a, dtype=np.uint32) for a in khi_parts])
     kmer_lo = np.concatenate([np.asarray(a, dtype=np.uint32) for a in klo_parts])
@@ -878,6 +941,42 @@ def _count_super_partition(lanes, *, cutoff: int, k: int, m: int, chunk: int):
     return khi, klo, n_distinct, n_kept
 
 
+def _reextract_partition_super(
+    batch_super, n_batches: int, p: int, *,
+    partitions: int, cap0: int, batch_slots: int,
+):
+    """Re-extract ONE super-record partition whose staging cap overflowed.
+
+    Same self-healing contract as _reextract_partition2 for the 6-lane
+    super-k-mer records: sweep the batches extracting only partition ``p``
+    with a doubled cap, escalating until clean (cap >= batch_slots cannot
+    overflow).  Returns the 6 concatenated record lanes.
+    """
+    import logging
+
+    cap = cap0
+    while True:
+        cap = min(batch_slots, max(2 * cap, 1024))
+        logging.getLogger(__name__).warning(
+            "super count partition %d overflowed its staging cap; "
+            "re-extracting alone at cap=%d", p, cap,
+        )
+        lanes_acc = [[] for _ in range(6)]
+        ovf_dev = jnp.zeros((1,), jnp.int32)
+        for b in range(n_batches):
+            lanes = batch_super(b)
+            out = extract_partition_range_super(
+                *lanes, jnp.uint32(p),
+                partitions=partitions, group_size=1, cap_bp=cap,
+            )
+            for j in range(6):
+                lanes_acc[j].append(out[j][0])
+            ovf_dev = ovf_dev + out[6].astype(jnp.int32)
+        if cap >= batch_slots or int(ovf_dev[0]) == 0:
+            return tuple(jnp.concatenate(lanes_acc[j]) for j in range(6))
+        lanes_acc = None  # free before the next escalation
+
+
 def partitioned_count_super(
     batch_super: Callable[[int], tuple],
     n_batches: int,
@@ -952,7 +1051,7 @@ def partitioned_count_super(
         ckpt = pathlib.Path(checkpoint_dir)
         ckpt.mkdir(parents=True, exist_ok=True)
         fp = {
-            "format": 3,
+            "format": 4,
             "scheme": "super-range16",
             "partitions": partitions,
             "cutoff": cutoff,
@@ -1020,22 +1119,9 @@ def partitioned_count_super(
             ovf_dev = ovf_dev + out[6].astype(jnp.int32)
         group_overflows = np.asarray(ovf_dev)
 
-        for r in range(G):
-            p = g * G + r
-            if p >= partitions:
-                continue
-            if ckpt is not None and part_usable(p):
-                khi, klo, nd, nk, bo = load_part(p)
-                khi_parts.append(khi)
-                klo_parts.append(klo)
-                n_distinct += nd
-                n_kept += nk
-                batch_overflows += bo
-                continue
-            pass_overflows = int(group_overflows[r])
+        def count_super_partition(p, cat, pass_overflows):
+            nonlocal n_distinct, n_kept, batch_overflows
             batch_overflows += pass_overflows
-            cat = tuple(jnp.concatenate(pieces[r][j]) for j in range(6))
-            pieces[r] = None
             khi, klo, nd, nk = _count_super_partition(
                 cat, cutoff=cutoff, k=k, m=m, chunk=expand_chunk
             )
@@ -1058,6 +1144,41 @@ def partitioned_count_super(
                     batch_overflows=np.int64(pass_overflows),
                 )
                 tmp.rename(ckpt / f"part_{p}.npz")
+
+        overflowed = []
+        for r in range(G):
+            p = g * G + r
+            if p >= partitions:
+                pieces[r] = None
+                continue
+            if ckpt is not None and part_usable(p):
+                pieces[r] = None
+                khi, klo, nd, nk, bo = load_part(p)
+                khi_parts.append(khi)
+                klo_parts.append(klo)
+                n_distinct += nd
+                n_kept += nk
+                batch_overflows += bo
+                continue
+            pass_overflows = int(group_overflows[r])
+            if slack is None and pass_overflows:
+                # the probe-histogram cap missed (minimizer mass drifted
+                # from the probe batch): queue a single-partition
+                # re-extraction with an escalated cap instead of failing
+                # after the multi-pass count -- same self-heal contract as
+                # partitioned_count / the link builders.
+                pieces[r] = None
+                overflowed.append(p)
+                continue
+            cat = tuple(jnp.concatenate(pieces[r][j]) for j in range(6))
+            pieces[r] = None
+            count_super_partition(p, cat, pass_overflows)
+        for p in overflowed:
+            cat = _reextract_partition_super(
+                batch_super, n_batches, p,
+                partitions=partitions, cap0=cap_bp, batch_slots=batch_slots,
+            )
+            count_super_partition(p, cat, 0)
 
     kmer_hi = np.concatenate([np.asarray(a, np.uint32) for a in khi_parts])
     kmer_lo = np.concatenate([np.asarray(a, np.uint32) for a in klo_parts])

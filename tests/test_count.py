@@ -502,3 +502,117 @@ def test_partitioned_count_super_resume(tmp_path):
     got_b = sorted(zip(np.asarray(b.kmer_hi).tolist(),
                        np.asarray(b.kmer_lo).tolist()))
     assert got_a == got_b
+
+
+def test_count_self_heals_statistical_cap_overflow():
+    """Records concentrated on ONE key blow the statistical per-partition
+    staging cap (mean + 8 sigma assumes hash-spread keys); the count must
+    re-extract that partition with an escalated cap
+    (outofcore._reextract_partition2) and still return exact results --
+    not assert, not silently undercount.  Counterpart of the link
+    builders' self-heal test (chr1-scale failure mode)."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import count as count_ops
+    from genome_assembly_tpu.ops import outofcore
+    from genome_assembly_tpu.ops.minimizer import WindowRecords
+
+    rng = np.random.default_rng(41)
+    slots, batches = 4096, 2
+    rand_his = rng.integers(0, 1 << 20, size=(batches, slots // 2)).astype(np.uint32)
+    rand_los = rng.integers(0, 1 << 30, size=(batches, slots // 2)).astype(np.uint32)
+
+    def batch_keys(b):
+        hi = np.concatenate([np.full(slots // 2, 7, np.uint32), rand_his[b]])
+        lo = np.concatenate([np.full(slots // 2, 9, np.uint32), rand_los[b]])
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    pc = outofcore.partitioned_count(
+        batch_keys, batches, partitions=4, cutoff=1, kept_cap=1 << 14,
+    )
+    assert pc.batch_overflows == 0  # healed, not surfaced
+
+    hi_all = jnp.concatenate([batch_keys(b)[0] for b in range(batches)])
+    lo_all = jnp.concatenate([batch_keys(b)[1] for b in range(batches)])
+    recs = WindowRecords(
+        mmer=jnp.zeros((0,), jnp.uint32), kmer_hi=hi_all, kmer_lo=lo_all,
+        valid=hi_all != jnp.uint32(0xFFFFFFFF),
+    )
+    kc = count_ops.count_keys(recs, cutoff=1)
+    want_distinct = int(jnp.sum(kc.group_start & kc.valid))
+    want_kept = int(jnp.sum(kc.keep))
+    assert (pc.n_distinct, pc.n_kept) == (want_distinct, want_kept)
+    khi, klo, _ = count_ops.kept_keys_sorted(kc)
+    want = sorted(zip(
+        np.asarray(khi[:want_kept]).tolist(), np.asarray(klo[:want_kept]).tolist()
+    ))
+    got = sorted(zip(
+        np.asarray(pc.kmer_hi).tolist(), np.asarray(pc.kmer_lo).tolist()
+    ))
+    assert got == want
+
+
+def test_super_count_self_heals_probe_cap_overflow():
+    """partitioned_count_super's record cap comes from the PROBE batch's
+    per-partition histogram; a later batch concentrated on one minimizer
+    (poly-A reads) blows it.  The count must re-extract that partition
+    with an escalated cap (outofcore._reextract_partition_super) and
+    still match the direct count exactly."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import count as count_ops
+    from genome_assembly_tpu.ops import minimizer, outofcore, superkmer
+
+    k, m, cutoff = 31, 7, 0
+    rng = np.random.default_rng(67)
+    batch, L = 64, 128
+    codes = [
+        jnp.asarray(rng.integers(0, 4, size=(batch, L), dtype=np.uint8)),
+        # poly-A: every window shares ONE minimizer -> one partition
+        # receives ~the whole batch, far past the probe batch's peak
+        jnp.asarray(np.full((batch, L), 3, dtype=np.uint8)),
+    ]
+    lengths = jnp.full((batch,), L, dtype=jnp.int32)
+
+    def batch_super(b):
+        return superkmer.super_records(codes[b], lengths, k=k, m=m)
+
+    # many partitions -> tiny probe-histogram peak -> tiny cap; the poly-A
+    # batch then lands ~4 records/read on ONE partition, far past it
+    pc = outofcore.partitioned_count_super(
+        batch_super, 2, k=k, m=m, partitions=64,
+        cutoff=cutoff, kept_cap=65536, group_size=8, expand_chunk=512,
+    )
+    assert pc.batch_overflows == 0  # healed, not surfaced
+
+    his, los = [], []
+    for b in range(2):
+        recs = minimizer.fast_scan(codes[b], lengths, k=k, m=m)
+        sent = jnp.uint32(0xFFFFFFFF)
+        his.append(jnp.where(recs.valid, recs.kmer_hi, sent).reshape(-1))
+        los.append(jnp.where(recs.valid, recs.kmer_lo, sent).reshape(-1))
+    hi = jnp.concatenate(his)
+    recs_all = minimizer.WindowRecords(
+        mmer=jnp.zeros((0,), jnp.uint32), kmer_hi=hi,
+        kmer_lo=jnp.concatenate(los), valid=hi != jnp.uint32(0xFFFFFFFF),
+    )
+    kc = count_ops.count_keys(recs_all, cutoff=cutoff)
+    want_counts = (
+        int(np.sum(np.asarray(kc.group_start & kc.valid))),
+        int(np.sum(np.asarray(kc.keep))),
+    )
+    assert (pc.n_distinct, pc.n_kept) == want_counts
+    khi, klo, valid = count_ops.kept_keys_sorted(kc)
+    want = {
+        (int(a), int(b2))
+        for a, b2, v in zip(np.asarray(khi), np.asarray(klo), np.asarray(valid))
+        if v
+    }
+    got = {
+        (int(a), int(b2))
+        for a, b2, v in zip(
+            np.asarray(pc.kmer_hi), np.asarray(pc.kmer_lo), np.asarray(pc.valid)
+        )
+        if v
+    }
+    assert got == want

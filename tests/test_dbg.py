@@ -544,3 +544,55 @@ def test_materialize_device_matches_host():
                                                     k, counts)
         assert gu == wu, k
         assert np.array_equal(go, wo) and np.array_equal(gn, wn), k
+
+
+def test_link_builders_self_heal_cap_overflow(monkeypatch):
+    """A statistically-sized staging cap that misses must NOT abort (or
+    silently drop edges): the builders withhold the overflowed partition's
+    edges and re-extract it alone with an escalated cap
+    (dbg._reextract_partition3).  Forced here by shrinking
+    range_group_plan's cap far below every partition's true share; results
+    must still equal the in-core join exactly, with zero reported
+    (unresolved) overflow.  Guards the chr1-scale failure mode
+    (runs/chr1_range_r3: 'raise link slack' after the full count)."""
+    from genome_assembly_tpu.ops import outofcore
+
+    real_plan = outofcore.range_group_plan
+
+    def tiny_plan(n_units, unit_records, **kw):
+        _, G = real_plan(n_units, unit_records, **kw)
+        return max(16, unit_records // 32), G  # guaranteed too small
+
+    monkeypatch.setattr(outofcore, "range_group_plan", tiny_plan)
+
+    rng = np.random.default_rng(29)
+    k, glen, parts, chunk = 17, 900, 4, 256
+    genome = "".join(rng.choice(list("ACGT"), size=glen))
+    keys = sorted({encode.pack_str(canon(x)) for x in genome_kmers(genome, k)})
+    pad = max(8, 1 << int(np.ceil(np.log2(max(len(keys), 2)))))
+    n_lo = min(k, 16)
+    hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros(pad, dtype=bool)
+    for i, v in enumerate(keys):
+        hi[i] = v >> (2 * n_lo)
+        lo[i] = v & ((1 << (2 * n_lo)) - 1)
+        valid[i] = True
+    want = np.asarray(
+        dbg.build_unitig_links_join(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid), k=k
+        )
+    )
+    got, ovf = dbg.build_unitig_links_ooc(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid),
+        k=k, partitions=parts, chunk_nodes=chunk,
+    )
+    assert ovf == 0
+    assert np.array_equal(np.asarray(got), want)
+    for park_links in (False, True):
+        got, ovf = dbg.build_unitig_links_parked(
+            hi, lo, valid, k=k, partitions=parts, chunk_nodes=chunk,
+            park_links=park_links,
+        )
+        assert ovf == 0, park_links
+        assert np.array_equal(np.asarray(got), want), park_links
