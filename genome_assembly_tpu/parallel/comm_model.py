@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from genome_assembly_tpu.ops import minimizer as minimizer_ops
 from genome_assembly_tpu.ops import encode
-from genome_assembly_tpu.parallel.shard_count import owner_of
+from genome_assembly_tpu.parallel.shard_count import key_owner_of, owner_of
 from genome_assembly_tpu.parallel.part_dbg import _key_owner
 from genome_assembly_tpu.common import SENTINEL
 
@@ -52,13 +52,16 @@ class Hardware(NamedTuple):
 
 
 def count_exchange_matrix(
-    codes, lengths, *, k: int, m: int, n_shards: int, parity: bool = False
+    codes, lengths, *, k: int, m: int, n_shards: int, parity: bool = False,
+    route_by: str = "mmer",
 ) -> np.ndarray:
     """[n_shards, n_shards] records routed src->dst by the count phase.
 
     Exactly the traffic ``shard_count.sharded_count`` generates: rows are
     block-sharded over shards, each valid window record goes to
-    ``owner_of(mmer)``.  Diagonal entries stay on-chip.
+    ``owner_of(mmer)`` (route_by="mmer") or ``key_owner_of(khi, klo)``
+    (route_by="key", the fast-mode balance fix).  Diagonal entries stay
+    on-chip.
     """
     scan = minimizer_ops.parity_scan if parity else minimizer_ops.fast_scan
     recs = scan(jnp.asarray(codes), jnp.asarray(lengths), k=k, m=m)
@@ -68,7 +71,12 @@ def count_exchange_matrix(
     if rows % n_shards:
         raise ValueError(f"rows={rows} must divide n_shards={n_shards}")
     per = rows // n_shards
-    owner = np.asarray(owner_of(jnp.asarray(mmer), n_shards)).astype(np.int64)
+    if route_by == "key":
+        owner = np.asarray(
+            key_owner_of(recs.kmer_hi, recs.kmer_lo, n_shards)
+        ).astype(np.int64)
+    else:
+        owner = np.asarray(owner_of(jnp.asarray(mmer), n_shards)).astype(np.int64)
     src = np.repeat(np.arange(n_shards, dtype=np.int64), per)[:, None]
     src = np.broadcast_to(src, mmer.shape)
     flat = (src * n_shards + owner)[valid]

@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from genome_assembly_tpu.ops import minimizer as minimizer_ops
 from genome_assembly_tpu.ops.count import SENTINEL, group_counts
+from genome_assembly_tpu.common import HASH_A as _HASH_A, HASH_B as _HASH_B
 
 SHARD_AXIS = "shards"
 
@@ -49,11 +50,32 @@ def owner_of(mmer: jnp.ndarray, n_shards: int) -> jnp.ndarray:
     return ((mmer * _HASH_MULT) >> 8) % jnp.uint32(n_shards)
 
 
+def key_owner_of(khi: jnp.ndarray, klo: jnp.ndarray, n_shards: int):
+    """Shard owning a canonical k-mer KEY: two-lane multiplicative hash.
+
+    Fast-mode alternative to minimizer ownership: minimizer mass is
+    heavy-tailed (33 bins held 102k records on reads.txt, SURVEY.md
+    section 7), so at high shard counts the biggest minimizers dominate
+    single shards -- the comm model measures received-record skew 1.70 at
+    256 shards under owner_of, capping count-phase efficiency at ~58%
+    regardless of overlap.  A canonical key's multiplicity is ~coverage
+    (fine-grained), so key ownership balances to ~1.0.  All copies of a
+    key share its owner, and a key's minimizer is a function of the key,
+    so the shard-local (mmer, khi, klo) groups stay complete.  Parity
+    mode keeps minimizer ownership (route_by="mmer"): the reference's
+    two-level table is signature-major and the replay consumes
+    signature-grouped tables.
+    """
+    h = (khi * _HASH_A) ^ (klo * _HASH_B)
+    return (h >> 7) % jnp.uint32(n_shards)
+
+
 class ShardedCount(NamedTuple):
     """Per-shard counted table, arrays [n_shards, cap] (leading axis sharded).
 
-    Groups are complete within one shard (ownership is by minimizer), so
-    `keep`/`count` have the same meaning as the single-device CountedTable.
+    Groups are complete within one shard (ownership is by minimizer, or
+    by canonical key under route_by="key"), so `keep`/`count` have the
+    same meaning as the single-device CountedTable.
     """
 
     mmer: jnp.ndarray
@@ -70,7 +92,7 @@ class ShardedCount(NamedTuple):
 
 def _bucketize_records(
     codes, lengths, read_ids, stream_offset, *, k, m, parity, n_shards, cap,
-    routing="padded",
+    routing="padded", route_by="mmer",
 ):
     """Per-shard: local scan -> owner-sorted staging, NO collective.
 
@@ -96,7 +118,12 @@ def _bucketize_records(
     stream = jnp.arange(n, dtype=jnp.uint32) + stream_offset.reshape(())
     valid = recs.valid.reshape(n)
 
-    owner = jnp.where(valid, owner_of(mmer, n_shards), jnp.uint32(n_shards))
+    dest = (
+        key_owner_of(khi, klo, n_shards)
+        if route_by == "key"
+        else owner_of(mmer, n_shards)
+    )
+    owner = jnp.where(valid, dest, jnp.uint32(n_shards))
 
     # Sort by owner; within-owner offset = index - first index of the group.
     owner_s, mmer_s, khi_s, klo_s, rid_s, stream_s = lax.sort(
@@ -168,7 +195,7 @@ def _exchange_staged(staged, *, n_shards, cap, routing="padded",
 
 def _route_records(
     codes, lengths, read_ids, stream_offset, *, k, m, parity, n_shards, cap,
-    routing="padded", ragged_native=False,
+    routing="padded", ragged_native=False, route_by="mmer",
 ):
     """Per-shard: local scan -> bucketize by owner -> all_to_all.
 
@@ -183,6 +210,7 @@ def _route_records(
     staged = _bucketize_records(
         codes, lengths, read_ids, stream_offset,
         k=k, m=m, parity=parity, n_shards=n_shards, cap=cap, routing=routing,
+        route_by=route_by,
     )
     return _exchange_staged(
         staged, n_shards=n_shards, cap=cap, routing=routing,
@@ -192,13 +220,13 @@ def _route_records(
 
 def _scan_and_route(
     codes, lengths, read_ids, stream_offset, *, k, m, parity, n_shards, cap,
-    routing="padded", ragged_native=False,
+    routing="padded", ragged_native=False, route_by="mmer",
 ):
     """Per-shard body: route (above) then local sort/count."""
     r_mmer, r_khi, r_klo, r_rid, r_stream, overflow = _route_records(
         codes, lengths, read_ids, stream_offset, k=k, m=m, parity=parity,
         n_shards=n_shards, cap=cap, routing=routing,
-        ragged_native=ragged_native,
+        ragged_native=ragged_native, route_by=route_by,
     )
     r_valid = r_mmer != SENTINEL
     return _local_count(r_mmer, r_khi, r_klo, r_rid, r_stream, r_valid, overflow)
@@ -239,7 +267,9 @@ def _local_count(r_mmer, r_khi, r_klo, r_rid, r_stream, r_valid, overflow):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "m", "parity", "cutoff", "mesh", "slack", "routing"),
+    static_argnames=(
+        "k", "m", "parity", "cutoff", "mesh", "slack", "routing", "route_by",
+    ),
 )
 def sharded_count(
     codes: jnp.ndarray,
@@ -253,6 +283,7 @@ def sharded_count(
     mesh: Mesh,
     slack: float = 4.0,
     routing: str = "padded",
+    route_by: str = "mmer",
 ) -> ShardedCount:
     """Distributed count+prune over a 1-D mesh.
 
@@ -265,6 +296,9 @@ def sharded_count(
     """
     if routing not in ("padded", "ragged", "two_level"):
         raise ValueError(f"unknown routing {routing!r}")
+    _check_route_by(route_by, parity)
+    if route_by == "key" and routing == "two_level":
+        raise ValueError("two_level routing routes by minimizer only")
     if routing == "two_level":
         # DCN-aware hierarchical routing over a 2-D (slices, shards) mesh
         # (parallel/two_level.py): intra-slice ICI stage, then ONE
@@ -299,6 +333,7 @@ def sharded_count(
             n_shards=n_shards,
             cap=cap,
             routing=routing,
+            route_by=route_by,
             ragged_native=(
                 routing == "ragged"
                 and mesh.devices.flat[0].platform == "tpu"
@@ -328,10 +363,13 @@ def sharded_count(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "m", "parity", "mesh", "slack", "routing"),
+    static_argnames=(
+        "k", "m", "parity", "mesh", "slack", "routing", "route_by",
+    ),
 )
 def _route_batch(
-    codes, lengths, read_ids, offsets, *, k, m, parity, mesh, slack, routing
+    codes, lengths, read_ids, offsets, *, k, m, parity, mesh, slack, routing,
+    route_by="mmer",
 ):
     """One batch's routed (uncounted) records, sharded [n_shards, R]."""
     n_shards = mesh.shape[SHARD_AXIS]
@@ -348,7 +386,7 @@ def _route_batch(
         out = _route_records(
             codes, lengths, read_ids, stream_offset,
             k=k, m=m, parity=parity, n_shards=n_shards, cap=cap,
-            routing=routing,
+            routing=routing, route_by=route_by,
             ragged_native=(
                 routing == "ragged"
                 and mesh.devices.flat[0].platform == "tpu"
@@ -377,10 +415,13 @@ def _is_ragged_native(mesh: Mesh, routing: str) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "m", "parity", "mesh", "slack", "routing"),
+    static_argnames=(
+        "k", "m", "parity", "mesh", "slack", "routing", "route_by",
+    ),
 )
 def _bucketize_batch(
-    codes, lengths, read_ids, offsets, *, k, m, parity, mesh, slack, routing
+    codes, lengths, read_ids, offsets, *, k, m, parity, mesh, slack, routing,
+    route_by="mmer",
 ):
     """One batch's staged (bucketized, unexchanged) blocks, sharded."""
     n_shards = mesh.shape[SHARD_AXIS]
@@ -392,7 +433,7 @@ def _bucketize_batch(
         staged = _bucketize_records(
             codes, lengths, read_ids, stream_offset,
             k=k, m=m, parity=parity, n_shards=n_shards, cap=cap,
-            routing=routing,
+            routing=routing, route_by=route_by,
         )
         return tuple(x[None] for x in staged)
 
@@ -405,11 +446,13 @@ def _bucketize_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "m", "parity", "mesh", "slack", "routing"),
+    static_argnames=(
+        "k", "m", "parity", "mesh", "slack", "routing", "route_by",
+    ),
 )
 def _exchange_and_bucketize_batch(
     staged, codes, lengths, read_ids, offsets, *, k, m, parity, mesh, slack,
-    routing,
+    routing, route_by="mmer",
 ):
     """ONE program: exchange the PREVIOUS batch's staged blocks while
     scanning/bucketizing the CURRENT batch.
@@ -436,7 +479,7 @@ def _exchange_and_bucketize_batch(
         new_staged = _bucketize_records(
             codes, lengths, read_ids, stream_offset,
             k=k, m=m, parity=parity, n_shards=n_shards, cap=cap,
-            routing=routing,
+            routing=routing, route_by=route_by,
         )
         return (
             tuple(x[None] for x in received),
@@ -497,6 +540,16 @@ def _count_received(m_cat, hi_cat, lo_cat, rid_cat, st_cat, ovf_cat, *,
     )
 
 
+def _check_route_by(route_by: str, parity: bool) -> None:
+    if route_by not in ("mmer", "key"):
+        raise ValueError(f"unknown route_by {route_by!r}")
+    if route_by == "key" and parity:
+        raise ValueError(
+            "parity mode requires minimizer ownership (route_by='mmer'): "
+            "the replay consumes signature-grouped tables"
+        )
+
+
 def sharded_count_batches(
     batches,
     *,
@@ -507,6 +560,7 @@ def sharded_count_batches(
     mesh: Mesh,
     slack: float = 4.0,
     routing: str = "padded",
+    route_by: str = "mmer",
     pipelined: bool = True,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
@@ -541,6 +595,7 @@ def sharded_count_batches(
     """
     if routing not in ("padded", "ragged"):
         raise ValueError(f"unknown routing {routing!r}")
+    _check_route_by(route_by, parity)
     n_shards = mesh.shape[SHARD_AXIS]
     received = None
     n_local = None
@@ -586,6 +641,7 @@ def sharded_count_batches(
                 ckpt_meta = {
                     "k": k, "m": m, "parity": parity,
                     "batch_rows": batch_rows, "max_len": max_len,
+                    "route_by": route_by,
                 }
                 loaded = ckpt_ops.load_count_shards(
                     checkpoint_dir, n_shards=n_shards, expect=ckpt_meta
@@ -611,20 +667,20 @@ def sharded_count_batches(
             accumulate(_route_batch(
                 codes, lengths, rids, offsets,
                 k=k, m=m, parity=parity, mesh=mesh, slack=slack,
-                routing=routing,
+                routing=routing, route_by=route_by,
             ))
             maybe_save()
         elif staged is None:
             staged = _bucketize_batch(
                 codes, lengths, rids, offsets,
                 k=k, m=m, parity=parity, mesh=mesh, slack=slack,
-                routing=routing,
+                routing=routing, route_by=route_by,
             )
         else:
             routed, staged = _exchange_and_bucketize_batch(
                 staged, codes, lengths, rids, offsets,
                 k=k, m=m, parity=parity, mesh=mesh, slack=slack,
-                routing=routing,
+                routing=routing, route_by=route_by,
             )
             accumulate(routed)
             maybe_save()

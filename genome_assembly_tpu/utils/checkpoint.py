@@ -200,7 +200,7 @@ def load_count_shards(dirpath: str, *, n_shards: int, expect: dict):
     """
     import json as _json
 
-    from genome_assembly_tpu.parallel.shard_count import owner_of
+    from genome_assembly_tpu.parallel.shard_count import key_owner_of, owner_of
 
     d = pathlib.Path(dirpath)
     mpath = d / "manifest.json"
@@ -232,7 +232,15 @@ def load_count_shards(dirpath: str, *, n_shards: int, expect: dict):
         }
         import jax.numpy as jnp
 
-        owner = np.asarray(owner_of(jnp.asarray(cat["mmer"]), n_shards))
+        # re-route by the SAME ownership hash the records were routed
+        # with (the manifest records it; key routing is the fast-mode
+        # balance fix, minimizer routing the parity-compatible default)
+        if manifest.get("route_by", "mmer") == "key":
+            owner = np.asarray(key_owner_of(
+                jnp.asarray(cat["khi"]), jnp.asarray(cat["klo"]), n_shards
+            ))
+        else:
+            owner = np.asarray(owner_of(jnp.asarray(cat["mmer"]), n_shards))
         rows = [
             {name: cat[name][owner == g] for name in _SHARD_LANES}
             for g in range(n_shards)

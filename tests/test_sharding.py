@@ -545,3 +545,96 @@ def test_sharded_count_batches_checkpoint_resume(tmp_path, mesh8):
             batches, checkpoint_dir=ckpt, k=13, m=m, parity=False,
             cutoff=cutoff, mesh=mesh8,
         )
+
+
+def test_key_routed_count_equals_single_device(mesh8):
+    """route_by="key" (canonical-key ownership, the fast-mode balance fix
+    for heavy-tailed minimizer mass at high shard counts) must produce
+    exactly the single-device count: same kept keys, counts, and read-id
+    multisets.  Also pins the comm model's key-routing matrix to the
+    router's real traffic and its balance claim (recv skew ~1)."""
+    k, m, cutoff = 11, 5, 1
+    genome, reads, _ = datagen.generate_coverage_reads(
+        genome_len=800, read_len=48, coverage=6, seed=9, with_reverse=True
+    )
+    b = _batch(reads, 64, 8 * ((len(reads) + 7) // 8))
+    sc = shard_count.sharded_count(
+        jnp.asarray(b.codes), jnp.asarray(b.lengths), jnp.asarray(b.read_ids),
+        k=k, m=m, parity=False, cutoff=cutoff, mesh=mesh8, route_by="key",
+    )
+    assert int(np.sum(np.asarray(sc.overflow))) == 0
+    got = shard_count.sharded_to_host_dict(sc, k, m)
+
+    from genome_assembly_tpu.ops import count as count_ops
+    from genome_assembly_tpu.ops import minimizer as minimizer_ops
+    from genome_assembly_tpu.parity import table as table_ops
+
+    recs = minimizer_ops.fast_scan(
+        jnp.asarray(b.codes), jnp.asarray(b.lengths), k=k, m=m
+    )
+    counted = count_ops.count_and_prune(
+        recs, jnp.asarray(b.read_ids), cutoff=cutoff
+    )
+    host = table_ops.extract_groups(counted, pruned=True)
+    want = table_ops.decode_table(host, k, m)
+    assert {kk: sorted(v) for kk, v in got.items()} == {
+        kk: sorted(v) for kk, v in want.items()
+    }
+
+    # the model's matrix is the router's real traffic: row sums must equal
+    # each source shard's valid record count, and key routing must balance
+    # received records where minimizer routing skews
+    from genome_assembly_tpu.parallel import comm_model
+
+    mat = comm_model.count_exchange_matrix(
+        b.codes, b.lengths, k=k, m=m, n_shards=8, route_by="key"
+    )
+    n_valid = int(np.asarray(recs.valid).sum())
+    assert int(mat.sum()) == n_valid
+    recv = mat.sum(axis=0)
+    assert recv.max() / recv.mean() < 1.2  # key ownership balances
+
+
+def test_key_routed_batches_pipelined_equals_mmer_routed(mesh8):
+    """sharded_count_batches(route_by="key", pipelined) must yield the
+    same kept (key -> count) table as minimizer routing -- ownership is a
+    layout decision, never a semantic one."""
+    from genome_assembly_tpu.io import reads as reads_io
+
+    genome, reads, _ = datagen.generate_coverage_reads(
+        genome_len=600, read_len=48, coverage=5, seed=11, with_reverse=True
+    )
+    per = 16
+    batches = []
+    for i in range(0, min(len(reads), 48), per):
+        chunk = reads[i : i + per]
+        (bb,) = reads_io.batch_reads(chunk, 64, start_id=i)
+        batches.append(reads_io.pad_batch(bb, per))
+    kw = dict(k=11, m=5, parity=False, cutoff=1, mesh=mesh8)
+
+    def table(sc):
+        keep = np.asarray(sc.keep)
+        out = {}
+        for s in range(keep.shape[0]):
+            for g in np.flatnonzero(keep[s]):
+                kk = (int(np.asarray(sc.kmer_hi)[s, g]),
+                      int(np.asarray(sc.kmer_lo)[s, g]))
+                out[kk] = int(np.asarray(sc.count)[s, g])
+        return out
+
+    a = shard_count.sharded_count_batches(batches, route_by="key", **kw)
+    assert int(np.sum(np.asarray(a.overflow))) == 0
+    b2 = shard_count.sharded_count_batches(batches, route_by="mmer", **kw)
+    assert table(a) == table(b2)
+
+
+def test_key_routing_rejects_parity(mesh8):
+    """Parity mode requires signature-grouped tables; route_by="key" must
+    be refused loudly, not silently mis-group."""
+    b = _batch(["ACGTACGTACGTACGT"] * 8, 32, 8)
+    with pytest.raises(ValueError, match="parity"):
+        shard_count.sharded_count(
+            jnp.asarray(b.codes), jnp.asarray(b.lengths),
+            jnp.asarray(b.read_ids),
+            k=11, m=5, parity=True, cutoff=1, mesh=mesh8, route_by="key",
+        )

@@ -31,6 +31,10 @@ def main() -> int:
                     default=[8, 16, 64, 256])
     ap.add_argument("--parity", action="store_true",
                     help="model the 5-lane parity routing payload")
+    ap.add_argument("--route-by", choices=("mmer", "key"), default="mmer",
+                    help="count-phase ownership: minimizer hash (parity-"
+                    "compatible default) or canonical-key hash (fast-mode "
+                    "balance fix for heavy-tailed minimizer mass)")
     ap.add_argument("--v5p", action="store_true",
                     help="use v5p ICI (6 links x 90 GB/s) and 2.8x chip rates")
     ap.add_argument("--time", action="store_true",
@@ -91,7 +95,7 @@ def main() -> int:
             continue
         cmat = comm_model.count_exchange_matrix(
             codes, lengths, k=args.k, m=args.m, n_shards=n,
-            parity=args.parity,
+            parity=args.parity, route_by=args.route_by,
         )
         lmat = comm_model.links_exchange_matrix(
             khi, klo, valid, k=args.k, n_shards=n
@@ -115,6 +119,7 @@ def main() -> int:
         )
         row = {
             "shards": n,
+            "route_by": args.route_by,
             "count": {k2: round(v, 6) if isinstance(v, float) else v
                       for k2, v in count_phase.items() if k2 != "shards"},
             "links": {k2: round(v, 6) if isinstance(v, float) else v
@@ -148,6 +153,7 @@ def main() -> int:
             sc = shard_count.sharded_count(
                 codes_j, lengths_j, rids, k=args.k, m=args.m,
                 parity=args.parity, cutoff=1, mesh=mesh,
+                route_by=args.route_by,
             )
             float(jnp.sum(sc.keep))  # hard sync
             dt = time.perf_counter() - t0
