@@ -359,6 +359,19 @@ def _scatter_edges(next_state, src, dst):
     return next_state.at[loc].set(dst, mode="drop", unique_indices=True)
 
 
+@jax.jit
+def _compact_partition_rows(hi, lo, pay):
+    """Sort one extracted slice so real records lead; return their count.
+
+    Real keys' hi lane is < SENTINEL (boundary keys carry <= 30 bits in
+    hi), so a single hi-keyed sort pushes the sentinel padding to the
+    back and the host can read back exactly n_real rows.
+    """
+    sent = jnp.uint32(0xFFFFFFFF)
+    hi_s, lo_s, pay_s = lax.sort((hi, lo, pay), num_keys=1)
+    return hi_s, lo_s, pay_s, jnp.sum(hi != sent)
+
+
 def _reextract_partition3(
     chunk_records, n_chunks: int, p: int, *,
     partitions: int, cap0: int, rec_per_chunk: int,
@@ -369,12 +382,17 @@ def _reextract_partition3(
     worst-balanced range bucket, ops/outofcore.range_group_plan); a missed
     tail at chromosome scale used to abort the run AFTER the multi-hour
     count (runs/chr1_range_r3: "raise link slack").  Instead the builders
-    now withhold an overflowed partition's edges and call this: one extra
+    withhold an overflowed partition's edges and call this: one extra
     sweep over the chunks with group_size=1 and a doubled cap, escalating
     until clean.  cap >= rec_per_chunk cannot overflow (the slice covers
-    the whole chunk), so the loop terminates.  Staging for the retry is
-    n_chunks x cap slots -- about two partitions' worth at the first
-    escalation, far below the group budget that just freed.
+    the whole chunk), so the loop terminates.
+
+    Device memory is BOUNDED at one chunk's extraction: each chunk's
+    slice is compacted on device and read back at its TRUE size (the
+    first implementation staged n_chunks x cap device-resident, which
+    RESOURCE_EXHAUSTED a 16 GB chip at chr1 scale once the escalated cap
+    reached 4x -- runs/chr1_r3b.err).  The relay readback is ~the real
+    partition bytes, paid only on this rare path.
     """
     import logging
 
@@ -388,19 +406,32 @@ def _reextract_partition3(
             "alone at cap=%d", p, cap,
         )
         hs, ls, ps = [], [], []
-        ovf_dev = jnp.zeros((1,), jnp.int32)
+        overflowed = False
         for c in range(n_chunks):
             rk_hi, rk_lo, rpay = chunk_records(c)
             ghi, glo, gpay, ovf = outofcore.extract_partition_range3(
                 rk_hi, rk_lo, rpay, jnp.uint32(p),
                 partitions=partitions, group_size=1, cap_bp=cap,
             )
-            hs.append(ghi[0])
-            ls.append(glo[0])
-            ps.append(gpay[0])
-            ovf_dev = ovf_dev + ovf.astype(jnp.int32)
-        if cap >= rec_per_chunk or int(ovf_dev[0]) == 0:
-            return jnp.concatenate(hs), jnp.concatenate(ls), jnp.concatenate(ps)
+            del rk_hi, rk_lo, rpay
+            hi_s, lo_s, pay_s, n_real = _compact_partition_rows(
+                ghi[0], glo[0], gpay[0]
+            )
+            del ghi, glo, gpay
+            if bool(ovf[0]):
+                overflowed = True
+                break
+            ne = int(n_real)  # hard sync; chunk temporaries now dead
+            hs.append(np.asarray(hi_s[:ne]))
+            ls.append(np.asarray(lo_s[:ne]))
+            ps.append(np.asarray(pay_s[:ne]))
+            del hi_s, lo_s, pay_s
+        if not overflowed or cap >= rec_per_chunk:
+            return (
+                jnp.asarray(np.concatenate(hs)),
+                jnp.asarray(np.concatenate(ls)),
+                jnp.asarray(np.concatenate(ps)),
+            )
         hs = ls = ps = None  # free before the next escalation
 
 

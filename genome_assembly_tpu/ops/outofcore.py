@@ -45,7 +45,10 @@ from genome_assembly_tpu.ops.minimizer import WindowRecords
 from genome_assembly_tpu.common import (
     HASH_A as _HASH_A,
     HASH_B as _HASH_B,
+    LINK_HASH_A as _LINK_A,
+    LINK_HASH_B as _LINK_B,
     SENTINEL,
+    fmix32 as _fmix32,
 )
 
 
@@ -66,7 +69,21 @@ def key_partition_range(hi: jnp.ndarray, lo: jnp.ndarray, partitions: int):
     partitions <= 65536 (x64 is disabled).  Balance granularity is the
     16-bit bucket: partitions own floor/ceil(65536/P) buckets each.
     """
-    h = (hi * _HASH_A) ^ (lo * _HASH_B)
+    h = _fmix32((hi * _HASH_A) ^ (lo * _HASH_B))
+    return ((h >> 16) * jnp.uint32(partitions)) >> 16
+
+
+def link_partition_range(hi: jnp.ndarray, lo: jnp.ndarray, partitions: int):
+    """RANGE partition id for the LINK builders' boundary keys.
+
+    Same monotone top-16 scheme as key_partition_range but with the
+    independent LINK_HASH constants: the 2-bit packing carries no length,
+    so a T-leading k-mer and its 30-mer suffix are the SAME (hi, lo) pair
+    -- a shared hash would hand ~1/4 of the FWD-suffix records their
+    k-mer's COUNT partition band verbatim, and the kept keys arrive
+    count-partition-ordered (see common.LINK_HASH_A).
+    """
+    h = _fmix32((hi * _LINK_A) ^ (lo * _LINK_B))
     return ((h >> 16) * jnp.uint32(partitions)) >> 16
 
 
@@ -106,7 +123,7 @@ def extract_partition_range(
     behind sentinels past the overflow probe and be dropped silently.
     """
     G = group_size
-    h = (hi * _HASH_A) ^ (lo * _HASH_B)
+    h = _fmix32((hi * _HASH_A) ^ (lo * _HASH_B))
     keep = hi != SENTINEL
     comp = jnp.where(keep, jnp.minimum(h, jnp.uint32(0xFFFFFFFE)), SENTINEL)
     hi_m = jnp.where(keep, hi, SENTINEL)
@@ -158,7 +175,7 @@ def extract_partition_range3(
     three lanes.
     """
     G = group_size
-    h = (hi * _HASH_A) ^ (lo * _HASH_B)
+    h = _fmix32((hi * _LINK_A) ^ (lo * _LINK_B))
     keep = hi != SENTINEL
     comp = jnp.where(keep, jnp.minimum(h, jnp.uint32(0xFFFFFFFE)), SENTINEL)
     hi_m = jnp.where(keep, hi, SENTINEL)
@@ -198,6 +215,18 @@ def extract_partition_range3(
     return jnp.stack(his), jnp.stack(los), jnp.stack(pays), jnp.stack(ovfs)
 
 
+@jax.jit
+def _compact_rows2(hi, lo):
+    """Sort one extracted 2-lane slice so real records lead + their count.
+
+    Real keys' hi lane is < SENTINEL (packed keys carry <= 30 bits in
+    hi), so a single hi-keyed sort pushes sentinel padding to the back
+    and the host reads back exactly n_real rows.
+    """
+    hi_s, lo_s = lax.sort((hi, lo), num_keys=1)
+    return hi_s, lo_s, jnp.sum(hi != SENTINEL)
+
+
 def _reextract_partition2(
     batch_keys, n_batches: int, p: int, *,
     partitions: int, cap0: int, batch_slots: int,
@@ -209,6 +238,10 @@ def _reextract_partition2(
     partition ``p`` with a doubled cap, escalating until clean (cap >=
     batch_slots cannot overflow).  Called by partitioned_count instead of
     surfacing a fatal overflow after a multi-hour chromosome-scale pass.
+    Device memory is bounded at one batch's extraction: each slice is
+    compacted on device and read back at its true size (a device-resident
+    n_batches x cap staging OOM'd at chr1 scale -- see
+    _reextract_partition3).
     """
     import logging
 
@@ -220,18 +253,28 @@ def _reextract_partition2(
             "alone at cap=%d", p, cap,
         )
         hs, ls = [], []
-        ovf_dev = jnp.zeros((1,), jnp.int32)
+        overflowed = False
         for b in range(n_batches):
             hi, lo = batch_keys(b)
             ghi, glo, ovf = extract_partition_range(
                 hi, lo, jnp.uint32(p),
                 partitions=partitions, group_size=1, cap_bp=cap,
             )
-            hs.append(ghi[0])
-            ls.append(glo[0])
-            ovf_dev = ovf_dev + ovf.astype(jnp.int32)
-        if cap >= batch_slots or int(ovf_dev[0]) == 0:
-            return jnp.concatenate(hs), jnp.concatenate(ls)
+            del hi, lo
+            hi_s, lo_s, n_real = _compact_rows2(ghi[0], glo[0])
+            del ghi, glo
+            if bool(ovf[0]):
+                overflowed = True
+                break
+            ne = int(n_real)  # hard sync; batch temporaries now dead
+            hs.append(np.asarray(hi_s[:ne]))
+            ls.append(np.asarray(lo_s[:ne]))
+            del hi_s, lo_s
+        if not overflowed or cap >= batch_slots:
+            return (
+                jnp.asarray(np.concatenate(hs)),
+                jnp.asarray(np.concatenate(ls)),
+            )
         hs = ls = None  # free before the next escalation
 
 
@@ -288,7 +331,9 @@ def extract_partition_range5(
     overflows [G]).
     """
     G = group_size
-    h = (mmer * _HASH_A) ^ (khi * _HASH_B) ^ (klo * jnp.uint32(0x9E3779B9))
+    h = _fmix32(
+        (mmer * _HASH_A) ^ (khi * _HASH_B) ^ (klo * jnp.uint32(0x9E3779B9))
+    )
     keep = mmer != SENTINEL
     comp = jnp.where(keep, jnp.minimum(h, jnp.uint32(0xFFFFFFFE)), SENTINEL)
     lanes_m = [
@@ -666,14 +711,15 @@ def partitioned_count(
         ckpt.mkdir(parents=True, exist_ok=True)
         # fingerprint: partition checkpoints are only valid for the exact
         # run parameters (a different partition count remaps every key).
-        # "format": 4 = range partition scheme with distinct HASH_A/HASH_B
-        # mixing constants (partition contents depend on the hash, so the
-        # round-3 same-constant bug's checkpoints must not resume); group
-        # width and staging
+        # "format": 5 = range partition scheme with fmix32-diffused
+        # partition hashes (the raw two-lane combine banded the link
+        # partitions under count-partition-ordered input; partition
+        # contents depend on the hash, so older checkpoints must not
+        # resume); group width and staging
         # caps do not affect partition contents and are not fingerprinted
         # (overflowed partitions are recounted on load instead).
         fp = {
-            "format": 4,
+            "format": 5,
             "scheme": "range16",
             "partitions": partitions,
             "cutoff": cutoff,
@@ -874,7 +920,7 @@ def extract_partition_range_super(
     """
     G = group_size
     n = mm.shape[0]
-    h = (mm * _HASH_A) ^ (mm * _HASH_B)
+    h = _fmix32((mm * _HASH_A) ^ (mm * _HASH_B))
     keep = mm != SENTINEL
     comp = jnp.where(keep, jnp.minimum(h, jnp.uint32(0xFFFFFFFE)), SENTINEL)
     pos = jnp.arange(n, dtype=jnp.int32)
@@ -1029,7 +1075,7 @@ def partitioned_count_super(
     # and minimizer mass is skewed (NOTES.md: 33 bins held 102k records
     # on reads.txt), so the worst partition's load, with a drift margin,
     # is the honest cap.  Overflow stays exactly detected regardless.
-    h0 = (mm0 * _HASH_A) ^ (mm0 * _HASH_B)
+    h0 = _fmix32((mm0 * _HASH_A) ^ (mm0 * _HASH_B))
     pid0 = ((h0 >> np.uint32(16)) * np.uint32(partitions)) >> np.uint32(16)
     peak = int(np.bincount(pid0, minlength=partitions).max()) if n_rec0 else 1
     cap_bp = min(
@@ -1051,7 +1097,7 @@ def partitioned_count_super(
         ckpt = pathlib.Path(checkpoint_dir)
         ckpt.mkdir(parents=True, exist_ok=True)
         fp = {
-            "format": 4,
+            "format": 5,
             "scheme": "super-range16",
             "partitions": partitions,
             "cutoff": cutoff,

@@ -101,19 +101,26 @@ def _unpack_answers(ans_blocks, bookkeeping, q, misses, n_shards):
     return outs
 
 
-from genome_assembly_tpu.common import HASH_A as _HASH_A, HASH_B as _HASH_B
+from genome_assembly_tpu.common import (
+    LINK_HASH_A as _LINK_A,
+    LINK_HASH_B as _LINK_B,
+    fmix32 as _fmix32,
+)
 
 
 def _key_owner(qhi, qlo, n_shards):
-    """Uniform shard assignment by key hash.
+    """Uniform shard assignment by (k-1)-mer boundary-key hash.
 
     Range partitioning is NOT used for lookups: queries that miss (most
     neighbor candidates at graph boundaries, and anything above the top
     key) would concentrate on whichever shard owns the widest value gap --
-    measured 25%+ of all queries landing on one shard.  A multiplicative
-    hash spreads hits and misses alike.
+    measured 25%+ of all queries landing on one shard.  Uses the LINK
+    hash constants + fmix32 diffusion: boundary keys of T-leading k-mers
+    pack to the k-mer's own (hi, lo) pair, so sharing the COUNT phase's
+    hash would correlate owners with count-partition-ordered inputs (see
+    common.LINK_HASH_A).
     """
-    h = (qhi * _HASH_A) ^ (qlo * _HASH_B)
+    h = _fmix32((qhi * _LINK_A) ^ (qlo * _LINK_B))
     return ((h >> 7) % jnp.uint32(n_shards)).astype(jnp.int32)
 
 

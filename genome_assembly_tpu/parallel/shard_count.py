@@ -37,7 +37,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from genome_assembly_tpu.ops import minimizer as minimizer_ops
 from genome_assembly_tpu.ops.count import SENTINEL, group_counts
-from genome_assembly_tpu.common import HASH_A as _HASH_A, HASH_B as _HASH_B
+from genome_assembly_tpu.common import (
+    HASH_A as _HASH_A,
+    HASH_B as _HASH_B,
+    fmix32 as _fmix32,
+)
 
 SHARD_AXIS = "shards"
 
@@ -66,7 +70,7 @@ def key_owner_of(khi: jnp.ndarray, klo: jnp.ndarray, n_shards: int):
     two-level table is signature-major and the replay consumes
     signature-grouped tables.
     """
-    h = (khi * _HASH_A) ^ (klo * _HASH_B)
+    h = _fmix32((khi * _HASH_A) ^ (klo * _HASH_B))
     return (h >> 7) % jnp.uint32(n_shards)
 
 

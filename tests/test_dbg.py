@@ -596,3 +596,52 @@ def test_link_builders_self_heal_cap_overflow(monkeypatch):
         )
         assert ovf == 0, park_links
         assert np.array_equal(np.asarray(got), want), park_links
+
+
+def test_link_partition_balance_under_count_partition_order():
+    """The kept-key array reaches the link builders ordered by COUNT
+    partition (partitioned_count concatenates per-partition keys), and
+    the k=31 FWD-suffix boundary key shares its whole lo lane with the
+    k-mer -- under the raw linear two-lane combine the suffix hashes of
+    one count partition fell in ~4 narrow top-16 bands -- and a T-leading
+    k-mer's suffix packs to the IDENTICAL (hi, lo) pair, surviving any
+    shared finalizer -- loading one link partition per chunk at ~2x mean
+    (the chr1 cap-overflow root cause).  With the link builders'
+    independent hash constants (common.LINK_HASH_A/B + fmix32) the worst
+    per-chunk link-partition load must stay near uniform."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import outofcore
+
+    rng = np.random.default_rng(3)
+    n = 1 << 17
+    hi = jnp.asarray(rng.integers(0, 1 << 30, size=n, dtype=np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
+    rhi, rlo = encode.reverse_complement_packed(hi, lo, 31)
+    fwd = (hi < rhi) | ((hi == rhi) & (lo <= rlo))
+    chi = np.asarray(jnp.where(fwd, hi, rhi))
+    clo = np.asarray(jnp.where(fwd, lo, rlo))
+    cpid = np.asarray(
+        outofcore.key_partition_range(jnp.asarray(chi), jnp.asarray(clo), 55)
+    )
+    order = np.lexsort((clo, chi, cpid))
+    chi, clo = chi[order], clo[order]
+    chunk = n // 8
+    P_link = 12
+    worst = 0.0
+    for c in range(8):
+        s = c * chunk
+        rk_hi, rk_lo, _ = dbg._chunk_boundary_records(
+            jnp.asarray(chi[s : s + chunk]), jnp.asarray(clo[s : s + chunk]),
+            jnp.asarray(np.ones(chunk, bool)), jnp.int32(s),
+            k=31, chunk_nodes=chunk,
+        )
+        rk_hi = np.asarray(rk_hi)
+        rk_lo = np.asarray(rk_lo)
+        mvalid = rk_hi != 0xFFFFFFFF
+        pid = np.asarray(outofcore.link_partition_range(
+            jnp.asarray(rk_hi[mvalid]), jnp.asarray(rk_lo[mvalid]), P_link
+        ))
+        bc = np.bincount(pid, minlength=P_link)
+        worst = max(worst, bc.max() / bc.mean())
+    assert worst < 1.25, worst  # raw combine measured 1.97 here

@@ -592,7 +592,12 @@ def test_key_routed_count_equals_single_device(mesh8):
     n_valid = int(np.asarray(recs.valid).sum())
     assert int(mat.sum()) == n_valid
     recv = mat.sum(axis=0)
-    assert recv.max() / recv.mean() < 1.2  # key ownership balances
+    # key ownership balances: records cluster per key with multiplicity
+    # ~coverage (6 here), so the per-shard deviation is sqrt(coverage)
+    # larger than iid -- ~475 +- 65 over 8 shards; 1.35 is ~4 cluster
+    # sigma while minimizer routing's heavy tail skews far past it at
+    # high shard counts (1.70 at 256, see NOTES.md)
+    assert recv.max() / recv.mean() < 1.35
 
 
 def test_key_routed_batches_pipelined_equals_mmer_routed(mesh8):
