@@ -27,13 +27,13 @@ mark "chr1 rc=$?"
 
 mark "humanchr count fraction window1 (3300 s)"
 timeout 3300 python tools/run_scale.py --preset humanchr --count-only \
-  --park-keys --checkpoint-dir ckpt/humanchr \
+  --park-keys --group-budget-gb 5 --checkpoint-dir ckpt/humanchr \
   > runs/humanchr_frac1_r3.jsonl 2> runs/humanchr_frac1_r3.err
 mark "humanchr window1 rc=$? (124 = timeout-kill, expected)"
 n1=$(ls ckpt/humanchr/part_*.npz 2>/dev/null | wc -l)
 mark "humanchr parts after window1: $n1"
 timeout 3000 python tools/run_scale.py --preset humanchr --count-only \
-  --park-keys --checkpoint-dir ckpt/humanchr \
+  --park-keys --group-budget-gb 5 --checkpoint-dir ckpt/humanchr \
   > runs/humanchr_frac2_r3.jsonl 2> runs/humanchr_frac2_r3.err
 mark "humanchr window2 rc=$? (124 expected)"
 n2=$(ls ckpt/humanchr/part_*.npz 2>/dev/null | wc -l)
