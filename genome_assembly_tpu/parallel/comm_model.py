@@ -45,6 +45,11 @@ class Hardware(NamedTuple):
     # measured single-chip rates (NOTES.md perf ledger, v5e-lite):
     count_records_per_s: float = 512.8e6  # scan+count+prune pipeline
     link_records_per_s: float = 304e6  # 3-lane sort rows/s at ~12M
+    # per-chip DCN (data-center network) bandwidth for multi-slice jobs.
+    # ASSUMPTION, not measured: ~25 GB/s/chip is the public
+    # order-of-magnitude for TPU pod DCN egress; override when the real
+    # fabric is known.  Used only by two_level_phase_model.
+    dcn_bytes_per_s: float = 25e9
 
     @property
     def ici_bytes_per_s(self) -> float:
@@ -178,6 +183,98 @@ def two_level_split(
         "dcn_records_max_device": float(per_device_dcn.max()),
         "dcn_messages_two_level": n_slices * (n_slices - 1) * n_ici,
         "dcn_messages_flat": int(cross.sum()),  # one per device pair
+    }
+
+
+def two_level_phase_model(
+    matrix: np.ndarray,
+    *,
+    n_slices: int,
+    bytes_per_record: int,
+    records_per_s: float,
+    n_batches: int = 1,
+    hw: Hardware = Hardware(),
+) -> dict:
+    """Pod-scale efficiency under the two-level ICI/DCN router.
+
+    Exact per-device stage traffic from the exchange matrix, with devices
+    laid out slice-major (global shard g = slice * n_ici + intra) as
+    two_level.two_level_mesh does:
+
+      stage 1 (ICI, within each slice): device d sends the records it
+        holds for global owner o to device (slice(d), intra(o)).
+      stage 2 (DCN, across slices): staging device (s, j) forwards the
+        records owned by (s', j), s' != s -- ONE aggregated message per
+        destination slice per column.
+      count: the final owner processes everything it received.
+
+    Walls are per-device bottleneck maxima over send/recv bytes at the
+    stage's fabric bandwidth (ICI measured-derated, DCN an assumption --
+    see Hardware.dcn_bytes_per_s).  ``n_batches`` > 1 applies the same
+    software-pipeline schedule as pipeline_model with the wire term being
+    the SUM of both stages (they serialize on the same records):
+    T = c + (B-1) * max(c, w) + w.
+    """
+    n = matrix.shape[0]
+    if n % n_slices:
+        raise ValueError(f"{n} devices do not split into {n_slices} slices")
+    n_ici = n // n_slices
+    dev_slice = np.arange(n) // n_ici
+    dev_intra = np.arange(n) % n_ici
+
+    # stage 1 per-device send/recv (records)
+    same_intra = dev_intra[:, None] == dev_intra[None, :]
+    send1 = (matrix * ~same_intra).sum(axis=1)
+    # recv at (s, j): records from any d in slice s owned by any o with
+    # intra(o) == j (excluding what d itself already holds for j == its own)
+    recv1 = np.zeros(n)
+    for s in range(n_slices):
+        rows = matrix[dev_slice == s]  # [n_ici, n]
+        src_intra = dev_intra[dev_slice == s]
+        for j in range(n_ici):
+            cols = rows[:, dev_intra == j]  # owners in column j
+            recv1[s * n_ici + j] = cols.sum() - cols[src_intra == j].sum()
+
+    # stage 2 per-device send/recv (records), from staging column to the
+    # owner's slice
+    send2 = np.zeros(n)
+    recv2 = np.zeros(n)
+    for s in range(n_slices):
+        rows = matrix[dev_slice == s]
+        for j in range(n_ici):
+            col_owners = (dev_intra == j)
+            for s2 in range(n_slices):
+                vol = rows[:, col_owners & (dev_slice == s2)].sum()
+                if s2 != s:
+                    send2[s * n_ici + j] += vol
+                    recv2[s2 * n_ici + j] += vol
+
+    recv_final = matrix.sum(axis=0)
+    total = int(matrix.sum())
+    t_comp = float(recv_final.max()) / records_per_s
+    t_ici = (
+        float(np.maximum(send1, recv1).max()) * bytes_per_record
+        / hw.ici_bytes_per_s
+    )
+    t_dcn = (
+        float(np.maximum(send2, recv2).max()) * bytes_per_record
+        / hw.dcn_bytes_per_s
+    )
+    t_wire = t_ici + t_dcn
+    t_comp_1chip = total / records_per_s
+    B = max(n_batches, 1)
+    c, w = t_comp / B, t_wire / B
+    t_pipe = c + (B - 1) * max(c, w) + w
+    return {
+        "shards": n,
+        "n_slices": n_slices,
+        "t_compute_s": t_comp,
+        "t_ici_s": t_ici,
+        "t_dcn_s": t_dcn,
+        "eff_serial": t_comp_1chip / (n * (t_comp + t_wire)),
+        "eff_overlap": t_comp_1chip / (n * max(t_comp, t_wire)),
+        "eff_pipelined": t_comp_1chip / (n * t_pipe),
+        "n_batches": B,
     }
 
 

@@ -31,6 +31,10 @@ def main() -> int:
                     default=[8, 16, 64, 256])
     ap.add_argument("--parity", action="store_true",
                     help="model the 5-lane parity routing payload")
+    ap.add_argument("--slices", type=int, default=2,
+                    help="slice count for the pod-scale two-level ICI/DCN "
+                    "phase model (reported for shard counts divisible by "
+                    "it)")
     ap.add_argument("--route-by", choices=("mmer", "key"), default="mmer",
                     help="count-phase ownership: minimizer hash (parity-"
                     "compatible default) or canonical-key hash (fast-mode "
@@ -132,6 +136,19 @@ def main() -> int:
                 k2: round(v, 6) if isinstance(v, float) else v
                 for k2, v in comm_model.two_level_split(
                     cmat, n_slices=2
+                ).items()
+            }
+        if n >= 2 * args.slices and n % args.slices == 0:
+            # pod-scale walls: ICI stage + aggregated DCN stage +
+            # software pipeline (Hardware.dcn_bytes_per_s is an
+            # assumption -- override when the real fabric is measured)
+            row["count_two_level_phase"] = {
+                k2: round(v, 6) if isinstance(v, float) else v
+                for k2, v in comm_model.two_level_phase_model(
+                    cmat, n_slices=args.slices,
+                    bytes_per_record=4 * count_lanes,
+                    records_per_s=hw.count_records_per_s,
+                    n_batches=args.batches, hw=hw,
                 ).items()
             }
         print(json.dumps(row), flush=True)
