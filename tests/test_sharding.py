@@ -643,3 +643,40 @@ def test_key_routing_rejects_parity(mesh8):
             jnp.asarray(b.read_ids),
             k=11, m=5, parity=True, cutoff=1, mesh=mesh8, route_by="key",
         )
+
+
+def test_key_routed_checkpoint_resume_across_mesh_shapes(tmp_path, mesh8):
+    """A key-routed partial checkpoint must resume onto a DIFFERENT mesh
+    shape by re-routing with the KEY ownership hash (the manifest records
+    route_by), and a route_by mismatch must refuse, not silently
+    mis-group."""
+    k, m, cutoff = 11, 5, 1
+    _, reads, _ = datagen.generate_coverage_reads(
+        genome_len=700, read_len=48, coverage=6, seed=21, with_reverse=True
+    )
+    rows = 24
+    batches = [
+        reads_io.pad_batch(b, rows)
+        for b in reads_io.batch_reads(reads, 64, rows)
+    ]
+    assert len(batches) >= 3
+    kw = dict(k=k, m=m, parity=False, cutoff=cutoff, route_by="key")
+    want = shard_count.sharded_count_batches(batches, mesh=mesh8, **kw)
+    want_dict = shard_count.sharded_to_host_dict(want, k, m)
+
+    ckpt = str(tmp_path / "ck_key")
+    shard_count.sharded_count_batches(
+        batches[:2], checkpoint_dir=ckpt, mesh=mesh8, **kw
+    )
+    mesh4 = mesh_lib.make_mesh(4)
+    got4 = shard_count.sharded_count_batches(
+        batches, checkpoint_dir=ckpt, mesh=mesh4, **kw
+    )
+    assert int(np.sum(np.asarray(got4.overflow))) == 0
+    assert shard_count.sharded_to_host_dict(got4, k, m) == want_dict
+
+    with pytest.raises(ValueError, match="different run"):
+        shard_count.sharded_count_batches(
+            batches, checkpoint_dir=ckpt, mesh=mesh8,
+            k=k, m=m, parity=False, cutoff=cutoff, route_by="mmer",
+        )
