@@ -456,10 +456,14 @@ class FastAssembler:
             parity=False,
             cutoff=cfg.abundance_cutoff,
             mesh=mesh,
+            # fast mode routes by canonical-key hash: minimizer mass is
+            # heavy-tailed and skews shard loads at high shard counts
+            # (NOTES.md: recv skew 1.70 at 256 shards; key routing 1.02)
+            route_by="key",
         )
         overflow = int(np.sum(np.asarray(sc.overflow)))
         if overflow:
-            raise RuntimeError(f"minimizer routing overflow ({overflow})")
+            raise RuntimeError(f"key routing overflow ({overflow})")
         stats.n_windows = int(jnp.sum(sc.valid))
         stats.entries_pre_prune = int(jnp.sum(sc.group_start & sc.valid))
         # device-side kept-key compaction: mask to sentinels + one global
