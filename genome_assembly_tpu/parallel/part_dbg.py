@@ -37,6 +37,7 @@ its reverse complement, computable locally.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import numpy as np
 
@@ -629,6 +630,384 @@ def partitioned_pointer_jump(
         next_state=next_state,
         head=head.reshape(n2),
         rank=rank.reshape(n2),
+        is_cycle=is_cycle.reshape(n2),
+    )
+    return graph, overflow
+
+
+# ---------------------------------------------------------------------------
+# wide (shard, local) state ids: beyond 2**31 states (BASELINE config 5)
+# ---------------------------------------------------------------------------
+#
+# The int32 pipeline above carries GLOBAL state ids (and the join packs a
+# side bit next to them: ``(side << 31) | gid``), so it tops out at 2**31
+# states.  Config 5 (3 Gbp x 30x) has ~6e9 dBG states.  The wide variant
+# never materializes a global id at all: a state is addressed by the pair
+# ``(owner shard, local id)``, each an int32 lane.  Under the contiguous
+# range layout (shard s owns local ids [0, 2*rows)), lexicographic
+# (owner, local) order IS global-id order, so chain-head canonicalization
+# stays traversal-invariant.  Chain ranks are 64-bit via two uint32 lanes
+# with explicit carries (a single random-genome chain can exceed 2**32
+# only past ~4.3 Gbp per strand; the lanes remove even that cliff).
+# Routing is cheaper than the 32-bit form in two places: the routed
+# gather's owner is the pair's own owner lane (no division), and the
+# source shard of an exchanged record is recovered from the all_to_all
+# block row (tiled all_to_all: received row j came from shard j) instead
+# of riding as a payload lane.
+
+
+class WideCompactedGraph(NamedTuple):
+    """Chain assignment with (owner, local) wide state ids; all arrays
+    are [2N] in global layout (shard s's states occupy rows
+    [s*rows2, (s+1)*rows2) and have owner lane == s)."""
+
+    next_owner: jnp.ndarray
+    next_local: jnp.ndarray
+    head_owner: jnp.ndarray
+    head_local: jnp.ndarray
+    rank_hi: jnp.ndarray  # 64-bit chain rank, upper uint32 lane
+    rank_lo: jnp.ndarray
+    is_cycle: jnp.ndarray
+
+
+def _wide_min(ao, al, bo, bl):
+    """Lexicographic min over (owner, local) pairs == global-id min."""
+    lt = (ao < bo) | ((ao == bo) & (al < bl))
+    return jnp.where(lt, ao, bo), jnp.where(lt, al, bl)
+
+
+def _add64(ahi, alo, bhi, blo):
+    """64-bit add over two uint32 lanes (explicit carry)."""
+    lo = alo + blo
+    carry = (lo < alo).astype(jnp.uint32)
+    return ahi + bhi + carry, lo
+
+
+def _src_owner_lanes(n_shards, cap, dtype=jnp.int32):
+    """Owner-of-origin for each row of a received [n_shards, cap] block."""
+    return lax.broadcasted_iota(dtype, (n_shards, cap), 0).reshape(-1)
+
+
+def _links_join_body_wide(
+    khi_l, klo_l, valid_l, *, k, n_shards, rows, cap_rec, cap_edge
+):
+    """Per-shard routed sort-join links over wide ids.
+
+    Identical join semantics to ``_links_join_body`` (differential-tested);
+    only the state addressing differs: records carry (side << 31) | LOCAL
+    id (< 2*rows, always < 2**31), and the emitting shard -- the state's
+    home by construction -- is recovered from the exchange block row.
+    """
+    me = lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+    rhi_l, rlo_l = encode.reverse_complement_packed(khi_l, klo_l, k)
+    node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
+    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
+    lid = (2 * node_l + strand).astype(jnp.uint32)
+    ohi = jnp.where(strand == 0, khi_l[node_l], rhi_l[node_l])
+    olo = jnp.where(strand == 0, klo_l[node_l], rlo_l[node_l])
+    state_valid = valid_l[node_l]
+
+    n_lo = min(k, 16)
+    n_hi = k - n_lo
+    if n_hi > 0:
+        suf_hi = ohi & jnp.uint32((1 << (2 * n_hi - 2)) - 1)
+        suf_lo = olo
+        pre_hi = ohi >> 2
+        pre_lo = (olo >> 2) | ((ohi & 3) << 30)
+    else:
+        suf_hi = jnp.zeros_like(ohi)
+        suf_lo = olo & jnp.uint32((1 << (2 * k - 2)) - 1)
+        pre_hi = jnp.zeros_like(ohi)
+        pre_lo = olo >> 2
+
+    sent = jnp.uint32(0xFFFFFFFF)
+    key_hi = jnp.concatenate([suf_hi, pre_hi])
+    key_lo = jnp.concatenate([suf_lo, pre_lo])
+    side = jnp.concatenate(
+        [jnp.zeros(2 * rows, jnp.uint32), jnp.ones(2 * rows, jnp.uint32)]
+    )
+    payload = (side << 31) | jnp.concatenate([lid, lid])
+    active = jnp.concatenate([state_valid, state_valid])
+
+    owner = _key_owner(key_hi, key_lo, n_shards)
+    blocks, _, ovf_rec = _pack_by_owner(
+        owner, active, (key_hi, key_lo, payload), (sent, sent, sent),
+        n_shards, cap_rec,
+    )
+    r_khi = _xchg(blocks[0]).reshape(-1)
+    r_klo = _xchg(blocks[1]).reshape(-1)
+    r_pay = _xchg(blocks[2]).reshape(-1)
+    r_own = _src_owner_lanes(n_shards, cap_rec, jnp.uint32)
+
+    # sort by (key, side|lid, src shard): OUT rows precede IN rows within a
+    # key group (payload bit 31 = side); the owner key makes ties
+    # deterministic across mesh shapes
+    khi_s, klo_s, pay_s, own_s = lax.sort(
+        (r_khi, r_klo, r_pay, r_own), num_keys=4
+    )
+    v_s = khi_s != sent
+    side_s = (pay_s >> 31).astype(jnp.int32)
+    lid_s = (pay_s & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    own_i = own_s.astype(jnp.int32)
+
+    def nxt(x, fill):
+        return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
+
+    def prv(x, fill):
+        return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+    same_next = (nxt(khi_s, sent ^ 1) == khi_s) & (nxt(klo_s, sent ^ 1) == klo_s)
+    same_prev = (prv(khi_s, sent ^ 1) == khi_s) & (prv(klo_s, sent ^ 1) == klo_s)
+    pair = (
+        ~same_prev
+        & same_next
+        & ~nxt(same_next, True)
+        & (side_s == 0)
+        & (nxt(side_s, 1) == 1)
+        & v_s
+    )
+    t_own = nxt(own_i, -1)
+    t_lid = nxt(lid_s, -1)
+    hairpin = (t_own == own_i) & (t_lid == (lid_s ^ 1))
+    edge = pair & ~hairpin
+
+    # route each edge home: the OUT record's emitting shard IS the source
+    # state's home
+    eblocks, _, ovf_edge = _pack_by_owner(
+        own_i, edge,
+        (lid_s, t_own, t_lid),
+        (jnp.int32(-1), jnp.int32(-1), jnp.int32(-1)),
+        n_shards, cap_edge,
+    )
+    b_src = _xchg(eblocks[0]).reshape(-1)
+    b_to = _xchg(eblocks[1]).reshape(-1)
+    b_tl = _xchg(eblocks[2]).reshape(-1)
+    next_o = jnp.full(2 * rows, -1, dtype=jnp.int32)
+    next_ll = jnp.full(2 * rows, -1, dtype=jnp.int32)
+    loc = jnp.where(b_src >= 0, b_src, 2 * rows)
+    next_o = next_o.at[loc].set(b_to, mode="drop", unique_indices=True)
+    next_ll = next_ll.at[loc].set(b_tl, mode="drop", unique_indices=True)
+    return next_o[None], next_ll[None], (ovf_rec + ovf_edge)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "slack"))
+def partitioned_unitig_links_join_wide(
+    khi: jnp.ndarray,
+    klo: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    k: int,
+    mesh: Mesh,
+    slack: float = 4.0,
+):
+    """(next_owner, next_local)[2N] via the routed sort-join with wide ids.
+
+    Same join as ``partitioned_unitig_links_join`` but structurally free of
+    the 2**31 global-state limit: per-shard local ids never exceed 2*rows
+    and no global id is ever formed.  Returns (next_owner [2N],
+    next_local [2N], overflow [n_shards]); -1 owner marks "no unique edge".
+    """
+    if k % 2 == 0:
+        raise ValueError("fast-mode dBG requires odd k")
+    n = khi.shape[0]
+    n_shards = mesh.shape[SHARD_AXIS]
+    if n % n_shards:
+        raise ValueError(f"N={n} must divide mesh size {n_shards}")
+    rows = n // n_shards
+    cap_rec = max(1, int(np.ceil(4 * rows / n_shards * slack)))
+    cap_edge = max(1, int(np.ceil(2 * rows / n_shards * slack)))
+
+    fn = jax.shard_map(
+        functools.partial(
+            _links_join_body_wide, k=k, n_shards=n_shards, rows=rows,
+            cap_rec=cap_rec, cap_edge=cap_edge,
+        ),
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+    )
+    next_o, next_l, overflow = fn(khi, klo, valid)
+    return next_o.reshape(2 * n), next_l.reshape(2 * n), overflow
+
+
+def _routed_gather_wide(tables, par_o, par_l, *, rows, n_shards, cap):
+    """tables[t][(par_o, par_l)] with owner routing straight off the owner
+    lane (no index arithmetic) and per-shard request combining.
+
+    tables: this shard's local [rows] int32 arrays (uint32 lanes ride as
+    int32 bit patterns; two's-complement wrap is bit-preserving).  par_o /
+    par_l: [q] wide indices, all valid.  Returns ([q] arrays, overflow).
+    """
+    q = par_o.shape[0]
+    me = lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+    idx = jnp.arange(q, dtype=jnp.int32)
+    o_s, l_s, idx_s = lax.sort((par_o, par_l, idx), num_keys=2, is_stable=True)
+    gs = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=bool),
+            (o_s[1:] != o_s[:-1]) | (l_s[1:] != l_s[:-1]),
+        ]
+    )
+    is_local = o_s == me
+
+    act = gs & ~is_local
+    acti = act.astype(jnp.int32)
+    c = jnp.cumsum(acti)
+    owner_first = jnp.searchsorted(o_s, o_s, side="left")
+    slot = c - 1 - (c[owner_first] - acti[owner_first])
+    ok = act & (slot < cap)
+    overflow = jnp.sum(act & (slot >= cap)).astype(jnp.int32)
+    o = jnp.where(ok, o_s, n_shards)
+    s = jnp.where(ok, slot, 0)
+    qbuf = jnp.full((n_shards, cap), -1, dtype=jnp.int32)
+    qbuf = qbuf.at[o, s].set(l_s, mode="drop")
+
+    recv = _xchg(qbuf).reshape(-1)
+    loc = jnp.clip(recv, 0, rows - 1)
+    tstack = jnp.stack(tables, axis=1)  # [rows, T]
+    got = jnp.where(recv[:, None] >= 0, tstack[loc], 0)
+    back = _xchg(got.reshape(n_shards, cap, -1))
+
+    head_pos = lax.associative_scan(jnp.maximum, jnp.where(gs, idx, -1))
+    loc_q = jnp.clip(l_s, 0, rows - 1)
+    at_heads = back[jnp.clip(o, 0, n_shards - 1), s]
+    at_heads = jnp.where(ok[:, None], at_heads, 0)
+    at_heads = jnp.where((is_local & gs)[:, None], tstack[loc_q], at_heads)
+    all_sorted = at_heads[head_pos]
+    out2 = jnp.zeros((q, len(tables)), dtype=at_heads.dtype)
+    out2 = out2.at[idx_s].set(all_sorted, mode="drop", unique_indices=True)
+    return [out2[:, t] for t in range(len(tables))], overflow
+
+
+def _jump_body_wide(next_o_l, next_l_l, *, n_shards, rows2, cap, steps):
+    me = lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+    lids = jnp.arange(rows2, dtype=jnp.int32)
+
+    # --- predecessor table: route (dest_local, src_local) to dest owner ---
+    valid_dest = next_o_l >= 0
+    is_local = valid_dest & (next_o_l == me)
+    blocks, _, ovf_pred = _pack_by_owner(
+        next_o_l,
+        valid_dest & ~is_local,
+        (next_l_l, lids),
+        (jnp.int32(-1), jnp.int32(-1)),
+        n_shards,
+        cap,
+    )
+    r_dl = _xchg(blocks[0]).reshape(-1)
+    r_sl = _xchg(blocks[1]).reshape(-1)
+    r_so = _src_owner_lanes(n_shards, cap)
+    pred_o = jnp.full(rows2, -1, dtype=jnp.int32)
+    pred_l = jnp.full(rows2, -1, dtype=jnp.int32)
+    # in-degree <= 1 => destinations globally unique; local + remote disjoint
+    loc_local = jnp.where(is_local, next_l_l, rows2)
+    pred_o = pred_o.at[loc_local].set(me, mode="drop", unique_indices=True)
+    pred_l = pred_l.at[loc_local].set(lids, mode="drop", unique_indices=True)
+    loc = jnp.where(r_dl >= 0, r_dl, rows2)
+    pred_o = pred_o.at[loc].set(r_so, mode="drop", unique_indices=True)
+    pred_l = pred_l.at[loc].set(r_sl, mode="drop", unique_indices=True)
+
+    has_pred = pred_o >= 0
+    par_o = jnp.where(has_pred, pred_o, me)
+    par_l = jnp.where(has_pred, pred_l, lids)
+    rank_lo = has_pred.astype(jnp.uint32)
+    rank_hi = rank_lo * 0  # *0 keeps the varying-axis type the carry needs
+    me_col = jnp.full(rows2, me, dtype=jnp.int32)
+    min_o, min_l = _wide_min(me_col, lids, par_o, par_l)
+
+    def round_body(_, carry):
+        par_o, par_l, rank_hi, rank_lo, min_o, min_l, ovf = carry
+        lanes = [
+            par_o,
+            par_l,
+            rank_hi.astype(jnp.int32),
+            rank_lo.astype(jnp.int32),
+            min_o,
+            min_l,
+        ]
+        (p_po, p_pl, p_rh, p_rl, p_mo, p_ml), ovf_r = _routed_gather_wide(
+            lanes, par_o, par_l, rows=rows2, n_shards=n_shards, cap=cap
+        )
+        rank_hi, rank_lo = _add64(
+            rank_hi, rank_lo, p_rh.astype(jnp.uint32), p_rl.astype(jnp.uint32)
+        )
+        min_o, min_l = _wide_min(min_o, min_l, p_mo, p_ml)
+        return p_po, p_pl, rank_hi, rank_lo, min_o, min_l, ovf + ovf_r
+
+    par_o, par_l, rank_hi, rank_lo, min_o, min_l, ovf_rounds = lax.fori_loop(
+        0,
+        steps,
+        round_body,
+        (par_o, par_l, rank_hi, rank_lo, min_o, min_l, ovf_pred * 0),
+    )
+
+    (p_pred_o,), ovf_final = _routed_gather_wide(
+        [pred_o], par_o, par_l, rows=rows2, n_shards=n_shards, cap=cap
+    )
+    is_cycle = p_pred_o >= 0
+    head_o = jnp.where(is_cycle, min_o, par_o)
+    head_l = jnp.where(is_cycle, min_l, par_l)
+    rank_hi = jnp.where(is_cycle, jnp.uint32(0), rank_hi)
+    rank_lo = jnp.where(is_cycle, jnp.uint32(0), rank_lo)
+    overflow = ovf_pred + ovf_rounds + ovf_final
+    return (
+        head_o[None],
+        head_l[None],
+        rank_hi[None],
+        rank_lo[None],
+        is_cycle[None],
+        overflow[None],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "slack"))
+def partitioned_pointer_jump_wide(
+    next_owner: jnp.ndarray,
+    next_local: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    slack: float = 4.0,
+):
+    """List ranking over wide (owner, local) state ids; no 2**31 limit.
+
+    next_owner/next_local: [2N] global layout (shard s's slice holds its
+    own states; the ids in the arrays refer to the SAME mesh partitioning).
+    Returns (WideCompactedGraph, overflow [n_shards]).  Ranks are 64-bit
+    (two uint32 lanes).  Heads of cyclic chains are the lexicographic
+    (owner, local) minimum == the global-id minimum, so results are
+    convertible 1:1 to ``partitioned_pointer_jump``'s whenever n2 < 2**31
+    (differential-tested).
+    """
+    n2 = next_owner.shape[0]
+    n_shards = mesh.shape[SHARD_AXIS]
+    if n2 % n_shards:
+        raise ValueError("state count must divide mesh size")
+    rows2 = n2 // n_shards
+    steps = max(1, int(np.ceil(np.log2(max(n2, 2)))) + 1)
+    cap = max(1, int(np.ceil(rows2 / n_shards * slack)))
+
+    fn = jax.shard_map(
+        functools.partial(
+            _jump_body_wide,
+            n_shards=n_shards,
+            rows2=rows2,
+            cap=cap,
+            steps=steps,
+        ),
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS),) * 6,
+    )
+    head_o, head_l, rank_hi, rank_lo, is_cycle, overflow = fn(
+        next_owner, next_local
+    )
+    graph = WideCompactedGraph(
+        next_owner=next_owner,
+        next_local=next_local,
+        head_owner=head_o.reshape(n2),
+        head_local=head_l.reshape(n2),
+        rank_hi=rank_hi.reshape(n2),
+        rank_lo=rank_lo.reshape(n2),
         is_cycle=is_cycle.reshape(n2),
     )
     return graph, overflow

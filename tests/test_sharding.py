@@ -314,6 +314,112 @@ def test_partitioned_links_join_matches_single_device(mesh8, k):
     )
 
 
+@pytest.mark.parametrize("k", [5, 31])
+def test_wide_links_join_matches_int32(mesh8, k):
+    """Wide (owner, local) routed sort-join == the int32 global-id join.
+
+    The wide form is config 5's extension representation (6e9 states
+    exceed int32, SCALE.md section 1); below 2**31 the two must agree
+    exactly under global_id = owner * (2 * rows) + local."""
+    from genome_assembly_tpu.ops import dbg
+    from genome_assembly_tpu.parallel import part_dbg
+
+    rng = np.random.default_rng(100 + k)
+    genome = "".join(rng.choice(list("ACGT"), size=700))
+    keys = sorted(
+        {
+            min(
+                encode.pack_str(genome[i : i + k]),
+                encode.pack_str(
+                    genome[i : i + k].translate(str.maketrans("ACGT", "TGCA"))[::-1]
+                ),
+            )
+            for i in range(len(genome) - k + 1)
+        }
+    )
+    pad = 1024
+    n_lo = min(k, 16)
+    hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros(pad, dtype=bool)
+    for i, v in enumerate(keys):
+        hi[i] = v >> (2 * n_lo)
+        lo[i] = v & ((1 << (2 * n_lo)) - 1)
+        valid[i] = True
+    hi, lo, valid = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid)
+
+    want, ovf0 = part_dbg.partitioned_unitig_links_join(
+        hi, lo, valid, k=k, mesh=mesh8
+    )
+    assert int(np.sum(np.asarray(ovf0))) == 0
+    no, nl, ovf = part_dbg.partitioned_unitig_links_join_wide(
+        hi, lo, valid, k=k, mesh=mesh8
+    )
+    assert int(np.sum(np.asarray(ovf))) == 0
+    rows2 = 2 * pad // 8  # states per shard
+    no, nl = np.asarray(no), np.asarray(nl)
+    got = np.where(no >= 0, no * rows2 + nl, -1)
+    assert np.array_equal(got, np.asarray(want))
+    # and the single-chip join agrees too
+    assert np.array_equal(
+        np.asarray(want), np.asarray(dbg.build_unitig_links_join(hi, lo, valid, k=k))
+    )
+
+
+def test_wide_pointer_jump_matches_single_device(mesh8):
+    """Wide-id list ranking == dbg.pointer_jump on a graph with long
+    chains, a cycle, self-contained pairs, and isolated states."""
+    from genome_assembly_tpu.ops import dbg
+    from genome_assembly_tpu.parallel import part_dbg
+
+    n2 = 512
+    rows2 = n2 // 8
+    next_state = np.full(n2, -1, dtype=np.int32)
+    # one long chain crossing every shard: 0 -> 9 -> 18 -> ... (stride 9)
+    chain = np.arange(0, n2, 9)
+    for a, b in zip(chain[:-1], chain[1:]):
+        next_state[a] = b
+    # a 16-cycle living on two shards
+    cyc = np.arange(100, 116)
+    cyc = cyc[~np.isin(cyc, chain)]
+    for a, b in zip(cyc, np.roll(cyc, -1)):
+        next_state[a] = b
+    # short two-state chains in the tail
+    for a in range(480, 500, 2):
+        if next_state[a] < 0 and a + 1 not in chain:
+            next_state[a] = a + 1
+
+    want = dbg.pointer_jump(jnp.asarray(next_state))
+    no = jnp.asarray(np.where(next_state >= 0, next_state // rows2, -1).astype(np.int32))
+    nl = jnp.asarray(np.where(next_state >= 0, next_state % rows2, -1).astype(np.int32))
+    g, ovf = part_dbg.partitioned_pointer_jump_wide(no, nl, mesh=mesh8)
+    assert int(np.sum(np.asarray(ovf))) == 0
+    head = np.asarray(g.head_owner) * rows2 + np.asarray(g.head_local)
+    assert np.array_equal(head, np.asarray(want.head))
+    assert np.array_equal(np.asarray(g.rank_lo), np.asarray(want.rank).astype(np.uint32))
+    assert not np.any(np.asarray(g.rank_hi))
+    assert np.array_equal(np.asarray(g.is_cycle), np.asarray(want.is_cycle))
+
+
+def test_wide_rank_carry():
+    """The 64-bit rank lanes carry across the 2**32 boundary (config 5
+    chains can exceed uint32 only past ~4.3 Gbp/strand; the lanes remove
+    the cliff entirely)."""
+    from genome_assembly_tpu.parallel.part_dbg import _add64
+
+    ahi = jnp.asarray(np.array([0, 0, 7], dtype=np.uint32))
+    alo = jnp.asarray(np.array([0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFF], dtype=np.uint32))
+    bhi = jnp.asarray(np.array([0, 0, 0], dtype=np.uint32))
+    blo = jnp.asarray(np.array([1, 1, 0xFFFFFFFF], dtype=np.uint32))
+    rhi, rlo = _add64(ahi, alo, bhi, blo)
+    want = [
+        (a << 32 | b) + (c << 32 | d)
+        for a, b, c, d in zip([0, 0, 7], [0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFF], [0, 0, 0], [1, 1, 0xFFFFFFFF])
+    ]
+    got = [(int(h) << 32) | int(l) for h, l in zip(np.asarray(rhi), np.asarray(rlo))]
+    assert got == want
+
+
 @pytest.mark.parametrize("parity", [True, False])
 def test_ragged_routing_equals_padded(mesh8, parity):
     """sharded_count(routing="ragged") == routing="padded" (on CPU the
