@@ -61,6 +61,12 @@ class PipelineConfig:
     # while_loop double-buffers three full carries and OOMs at
     # chromosome scale
     bulk_jump_states: int = 1 << 26
+    # distributed extension: carry dBG state ids as wide (shard, local)
+    # pairs (parallel/part_dbg.py) -- required past 2**31 states
+    # (BASELINE config 5's ~6e9 exceed int32).  "auto" switches when the
+    # padded state count reaches 2**31; True forces wide ids at any
+    # scale (differential tests / rehearsals)
+    wide_state_ids: object = "auto"
 
     def __post_init__(self) -> None:
         if not (1 <= self.m <= 15):
@@ -77,6 +83,11 @@ class PipelineConfig:
             raise ValueError("abundance_cutoff must be >= 0")
         if self.max_read_len < self.k:
             raise ValueError("max_read_len must be >= k")
+        if self.wide_state_ids not in (True, False, "auto"):
+            raise ValueError(
+                f"wide_state_ids must be True, False, or 'auto'; got "
+                f"{self.wide_state_ids!r}"
+            )
 
     @property
     def windows_per_read(self) -> int:

@@ -476,13 +476,55 @@ class FastAssembler:
         khi = khi_c[:pad]
         klo = klo_c[:pad]
         valid = khi != jnp.uint32(0xFFFFFFFF)
-        links, link_ovf = part_dbg.partitioned_unitig_links_join(
-            khi, klo, valid, k=cfg.k, mesh=mesh
+        n_states = 2 * pad
+        wide = cfg.wide_state_ids is True or (
+            cfg.wide_state_ids == "auto" and n_states >= (1 << 31)
         )
-        ovf = int(np.sum(np.asarray(link_ovf)))
-        if ovf:
-            raise RuntimeError(f"link-join routing overflow ({ovf})")
-        graph = shard_dbg.sharded_pointer_jump(links, mesh=mesh)
+        if wide:
+            # wide (shard, local) state ids: the >2**31-state form of the
+            # same routed sort-join + list ranking (config 5's ~6e9
+            # states exceed int32; SCALE.md section 1).  The compaction
+            # never forms a global id; materialization below 2**31
+            # converts to the int32 CompactedGraph (at config-5 scale it
+            # instead streams the per-shard (head, rank) slices).
+            no, nl, link_ovf = part_dbg.partitioned_unitig_links_join_wide(
+                khi, klo, valid, k=cfg.k, mesh=mesh
+            )
+            ovf = int(np.sum(np.asarray(link_ovf)))
+            if ovf:
+                raise RuntimeError(f"wide link-join routing overflow ({ovf})")
+            wgraph, jump_ovf = part_dbg.partitioned_pointer_jump_wide(
+                no, nl, mesh=mesh
+            )
+            ovf = int(np.sum(np.asarray(jump_ovf)))
+            if ovf:
+                raise RuntimeError(f"wide jump routing overflow ({ovf})")
+            # host-side int64 graph: the device compaction never formed a
+            # global id; materialization is host numpy (dbg._materialize
+            # is dtype-agnostic), so int64 ids carry any state count the
+            # host can hold
+            rows2 = n_states // n_shards
+            no_np = np.asarray(no).astype(np.int64)
+            nl_np = np.asarray(nl).astype(np.int64)
+            ho_np = np.asarray(wgraph.head_owner).astype(np.int64)
+            hl_np = np.asarray(wgraph.head_local).astype(np.int64)
+            rank64 = (np.asarray(wgraph.rank_hi).astype(np.int64) << 32) | (
+                np.asarray(wgraph.rank_lo).astype(np.int64)
+            )
+            graph = dbg.CompactedGraph(
+                next_state=np.where(no_np >= 0, no_np * rows2 + nl_np, -1),
+                head=ho_np * rows2 + hl_np,
+                rank=rank64,
+                is_cycle=np.asarray(wgraph.is_cycle),
+            )
+        else:
+            links, link_ovf = part_dbg.partitioned_unitig_links_join(
+                khi, klo, valid, k=cfg.k, mesh=mesh
+            )
+            ovf = int(np.sum(np.asarray(link_ovf)))
+            if ovf:
+                raise RuntimeError(f"link-join routing overflow ({ovf})")
+            graph = shard_dbg.sharded_pointer_jump(links, mesh=mesh)
         out = dbg.materialize_unitigs(
             np.asarray(khi), np.asarray(klo), np.asarray(valid), graph, cfg.k
         )

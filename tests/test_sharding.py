@@ -187,14 +187,22 @@ def test_distributed_parity_multibatch_exact(mesh8, routing):
     assert got == want
 
 
-def test_distributed_fast_pipeline_equals_single_device(mesh8):
-    """Full fast pipeline over the mesh == single-device unitig set."""
+@pytest.mark.parametrize("wide", [False, True])
+def test_distributed_fast_pipeline_equals_single_device(mesh8, wide):
+    """Full fast pipeline over the mesh == single-device unitig set.
+
+    wide=True forces the (shard, local) wide-id extension (config 5's
+    >2**31-state representation) end-to-end through the library surface,
+    including the int64 host materialization."""
     from genome_assembly_tpu.models.pipeline import FastAssembler
 
     genome, reads, _ = datagen.generate_coverage_reads(
         genome_len=700, read_len=48, coverage=8, seed=13, with_reverse=True
     )
-    cfg = PipelineConfig(k=11, m=5, parity=False, max_read_len=64, batch_reads=4096)
+    cfg = PipelineConfig(
+        k=11, m=5, parity=False, max_read_len=64, batch_reads=4096,
+        wide_state_ids=wide,
+    )
     single, _ = FastAssembler(cfg).unitigs(reads)
     sharded, _ = FastAssembler(cfg).unitigs(reads, mesh=mesh8)
     assert sorted(single) == sorted(sharded)
