@@ -45,6 +45,10 @@ class Hardware(NamedTuple):
     # measured single-chip rates (NOTES.md perf ledger, v5e-lite):
     count_records_per_s: float = 512.8e6  # scan+count+prune pipeline
     link_records_per_s: float = 304e6  # 3-lane sort rows/s at ~12M
+    # pointer-jump round rate: celegans 200M states / 1.4 s per doubling
+    # round (NOTES.md); a partitioned round does the same per-state work
+    # plus the request sort, which rides the same sort roofline
+    jump_states_per_s: float = 143e6
     # per-chip DCN (data-center network) bandwidth for multi-slice jobs.
     # ASSUMPTION, not measured: ~25 GB/s/chip is the public
     # order-of-magnitude for TPU pod DCN egress; override when the real
@@ -137,6 +141,155 @@ def links_exchange_matrix(
                 flat, minlength=n_shards * n_shards
             ).reshape(n_shards, n_shards)
     return mats
+
+
+def jump_request_matrices(next_state, *, n_shards: int):
+    """Exact per-phase request matrices of ``partitioned_pointer_jump``.
+
+    Replicates the router's own logic in numpy: the predecessor-table
+    build routes each (dest, src) edge to dest's range owner WITHOUT
+    deduplication (``_pack_by_owner``), while every doubling round and the
+    final cycle probe route one request per DISTINCT remote parent per
+    shard (``_routed_gather``'s request combining).  Traffic is identical
+    for the wide (shard, local) pipeline -- only the lane count differs.
+
+    Returns (pred_matrix, [round matrices x steps], final_matrix), each
+    [n_shards, n_shards] request counts (diagonal = answered locally,
+    zero by construction since local requests are never routed).
+    """
+    ns = np.asarray(next_state, dtype=np.int64)
+    n2 = ns.shape[0]
+    if n2 % n_shards:
+        raise ValueError(f"n2={n2} must divide n_shards={n_shards}")
+    rows2 = n2 // n_shards
+    ids = np.arange(n2, dtype=np.int64)
+    shard_of = ids // rows2
+
+    def req_matrix(dests, dedup):
+        mat = np.zeros((n_shards, n_shards), dtype=np.int64)
+        for s in range(n_shards):
+            d = dests[s * rows2 : (s + 1) * rows2]
+            d = d[d >= 0]
+            if dedup:
+                d = np.unique(d)
+            owner = d // rows2
+            owner = owner[owner != s]
+            mat[s] += np.bincount(owner, minlength=n_shards)
+        return mat
+
+    pred_mat = req_matrix(np.where(ns >= 0, ns, -1), dedup=False)
+
+    pred = np.full(n2, -1, dtype=np.int64)
+    pred[ns[ns >= 0]] = ids[ns >= 0]
+    parent = np.where(pred >= 0, pred, ids)
+
+    steps = max(1, int(np.ceil(np.log2(max(n2, 2)))) + 1)
+    round_mats = []
+    for _ in range(steps):
+        round_mats.append(req_matrix(parent, dedup=True))
+        parent = parent[parent]
+    final_mat = req_matrix(parent, dedup=True)
+    return pred_mat, round_mats, final_mat
+
+
+def gather_phase_model(
+    matrix: np.ndarray,
+    *,
+    resp_lanes: int,
+    states_per_shard: int,
+    states_per_s: float,
+    req_lanes: int = 1,
+    hw: Hardware = Hardware(),
+) -> dict:
+    """One routed-gather phase: requests go src->dst (``req_lanes`` uint32
+    each), responses return dst->src (``resp_lanes`` uint32 each).
+
+    Unlike phase_model's one-way records, both directions ride the wire:
+    per chip, send bytes = its outgoing requests + the responses it owes,
+    recv bytes = the mirror.  Compute is the per-shard state update
+    (sort + gather apply), bounded below by states_per_shard regardless
+    of traffic.
+    """
+    n = matrix.shape[0]
+    out_req = matrix.sum(axis=1).astype(np.float64)
+    in_req = matrix.sum(axis=0).astype(np.float64)
+    send = 4 * (req_lanes * out_req + resp_lanes * in_req)
+    recv = 4 * (req_lanes * in_req + resp_lanes * out_req)
+    wire = float(np.maximum(send, recv).max()) if n > 1 else 0.0
+    t_comm = wire / hw.ici_bytes_per_s
+    t_comp = states_per_shard / states_per_s
+    return {
+        "requests_total": int(matrix.sum()),
+        "t_compute_s": t_comp,
+        "t_comm_s": t_comm,
+        "t_serial_s": t_comp + t_comm,
+        "t_overlap_s": max(t_comp, t_comm),
+    }
+
+
+def extension_phase_model(
+    links_matrix: np.ndarray,
+    next_state,
+    *,
+    n_shards: int,
+    wide: bool = False,
+    hw: Hardware = Hardware(),
+) -> dict:
+    """End-to-end distributed-extension efficiency: the routed link join
+    plus every pointer-jump round's routed gather, from the routers' own
+    exact traffic (``links_exchange_matrix`` + ``jump_request_matrices``).
+
+    ``wide`` widens the payloads to the (shard, local) id pipeline's lane
+    counts (config 5's >2**31-state form): link records 4 lanes, gather
+    requests 1 lane (local index; the owner IS the routing key), gather
+    responses 6 lanes (parent pair, 64-bit rank, min pair).
+    """
+    n2 = len(np.asarray(next_state))
+    rows2 = n2 // n_shards
+    link_lanes = 4 if wide else 3
+    resp_lanes = 6 if wide else 3
+    link_phase = phase_model(
+        links_matrix, bytes_per_record=4 * link_lanes,
+        records_per_s=hw.link_records_per_s, hw=hw,
+    )
+    pred_mat, round_mats, final_mat = jump_request_matrices(
+        next_state, n_shards=n_shards
+    )
+    serial = link_phase["t_compute_s"] + link_phase["t_comm_s"]
+    overlap = max(link_phase["t_compute_s"], link_phase["t_comm_s"])
+    peak_pair = int(pred_mat.max())
+    req_total = 0
+    # pred build: one-way (dest_local, src) records, no response; rounds:
+    # 1-lane requests, (parent, rank, min) responses; final cycle probe:
+    # 1-lane requests, 1-lane pred response
+    for mat, rq, rp in (
+        [(pred_mat, 2, 0)]
+        + [(m, 1, resp_lanes) for m in round_mats]
+        + [(final_mat, 1, 1)]
+    ):
+        g = gather_phase_model(
+            mat, req_lanes=rq, resp_lanes=rp, states_per_shard=rows2,
+            states_per_s=hw.jump_states_per_s, hw=hw,
+        )
+        serial += g["t_serial_s"]
+        overlap += g["t_overlap_s"]
+        peak_pair = max(peak_pair, int(mat.max()))
+        req_total += g["requests_total"]
+    steps = len(round_mats)
+    t_1chip = (
+        int(links_matrix.sum()) / hw.link_records_per_s
+        + (steps + 2) * n2 / hw.jump_states_per_s
+    )
+    return {
+        "shards": n_shards,
+        "jump_rounds": steps,
+        "requests_total": req_total,
+        "peak_pair_requests": peak_pair,
+        "t_serial_s": serial,
+        "t_overlap_s": overlap,
+        "eff_serial": t_1chip / (n_shards * serial) if serial else 1.0,
+        "eff_overlap": t_1chip / (n_shards * overlap) if overlap else 1.0,
+    }
 
 
 def two_level_split(

@@ -180,3 +180,82 @@ def test_two_level_phase_model_consistency(batch):
         n_batches=8,
     )
     assert b8["eff_pipelined"] >= out["eff_serial"] - 1e-12
+
+
+def _jump_test_graph(n2=512):
+    """Long cross-shard chain + a cycle + short chains (the same shape the
+    wide-jump differential test uses)."""
+    next_state = np.full(n2, -1, dtype=np.int32)
+    chain = np.arange(0, n2, 9)
+    for a, b in zip(chain[:-1], chain[1:]):
+        next_state[a] = b
+    cyc = np.arange(100, 116)
+    cyc = cyc[~np.isin(cyc, chain)]
+    for a, b in zip(cyc, np.roll(cyc, -1)):
+        next_state[a] = b
+    for a in range(480, 500, 2):
+        if next_state[a] < 0 and a + 1 not in chain:
+            next_state[a] = a + 1
+    return next_state
+
+
+def test_jump_matrices_pin_routing_caps():
+    """The jump traffic model's peak per-(src,dst) request count is EXACTLY
+    the implementation's overflow threshold: a routing capacity equal to
+    the model's peak runs clean, one below overflows.  This pins every
+    phase the model enumerates (non-deduplicated pred build, per-round
+    deduplicated gathers, final cycle probe) to what
+    partitioned_pointer_jump actually routes."""
+    from genome_assembly_tpu.parallel import part_dbg
+
+    n_shards = 8
+    mesh = mesh_lib.make_mesh(n_shards)
+    next_state = _jump_test_graph()
+    rows2 = next_state.shape[0] // n_shards
+
+    pred_mat, round_mats, final_mat = comm_model.jump_request_matrices(
+        next_state, n_shards=n_shards
+    )
+    R = max(int(m.max()) for m in [pred_mat, final_mat] + round_mats)
+    assert R >= 2, "test graph too sparse to distinguish capacities"
+
+    ns = jnp.asarray(next_state)
+    _, ovf_ok = part_dbg.partitioned_pointer_jump(
+        ns, mesh=mesh, slack=R * n_shards / rows2
+    )
+    assert int(np.sum(np.asarray(ovf_ok))) == 0
+    _, ovf_low = part_dbg.partitioned_pointer_jump(
+        ns, mesh=mesh, slack=(R - 1) * n_shards / rows2
+    )
+    assert int(np.sum(np.asarray(ovf_low))) > 0
+
+
+def test_extension_phase_model_bounds(batch):
+    """Extension-phase efficiency stays in (0, 1], overlap >= serial, and
+    the wide pipeline's extra lanes only add wire time."""
+    codes, lengths = batch
+    recs = minimizer.fast_scan(
+        jnp.asarray(codes), jnp.asarray(lengths), k=K, m=M
+    )
+    kc = count_ops.count_keys(recs, cutoff=0)
+    khi, klo, valid = count_ops.kept_keys_sorted(kc)
+    from genome_assembly_tpu.ops import dbg
+
+    links = np.asarray(
+        dbg.build_unitig_links_join(khi, klo, valid, k=K)
+    )
+    n_shards = 8
+    lmat = comm_model.links_exchange_matrix(
+        khi, klo, valid, k=K, n_shards=n_shards
+    )
+    narrow = comm_model.extension_phase_model(
+        lmat, links, n_shards=n_shards, wide=False
+    )
+    wide = comm_model.extension_phase_model(
+        lmat, links, n_shards=n_shards, wide=True
+    )
+    for out in (narrow, wide):
+        assert 0 < out["eff_serial"] <= out["eff_overlap"] <= 1.0 + 1e-9
+        assert out["t_serial_s"] >= out["t_overlap_s"] > 0
+    assert wide["t_serial_s"] >= narrow["t_serial_s"]
+    assert wide["requests_total"] == narrow["requests_total"]

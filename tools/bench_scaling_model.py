@@ -39,6 +39,11 @@ def main() -> int:
                     help="count-phase ownership: minimizer hash (parity-"
                     "compatible default) or canonical-key hash (fast-mode "
                     "balance fix for heavy-tailed minimizer mass)")
+    ap.add_argument("--extension", action="store_true",
+                    help="also model the distributed-extension phases "
+                    "(routed link join + every pointer-jump round's "
+                    "gathers) from the routers' exact traffic, for both "
+                    "the int32 and the wide (shard, local) id pipelines")
     ap.add_argument("--v5p", action="store_true",
                     help="use v5p ICI (6 links x 90 GB/s) and 2.8x chip rates")
     ap.add_argument("--time", action="store_true",
@@ -121,6 +126,24 @@ def main() -> int:
             lmat, bytes_per_record=4 * link_lanes,
             records_per_s=hw.link_records_per_s, hw=hw,
         )
+        ext_rows = {}
+        if args.extension:
+            from genome_assembly_tpu.ops import dbg
+
+            links_np = np.asarray(
+                dbg.build_unitig_links_join(
+                    jnp.asarray(khi), jnp.asarray(klo), jnp.asarray(valid),
+                    k=args.k,
+                )
+            )
+            for wide in (False, True):
+                ext = comm_model.extension_phase_model(
+                    lmat, links_np, n_shards=n, wide=wide, hw=hw,
+                )
+                ext_rows["extension_wide" if wide else "extension"] = {
+                    k2: round(v, 6) if isinstance(v, float) else v
+                    for k2, v in ext.items() if k2 != "shards"
+                }
         row = {
             "shards": n,
             "route_by": args.route_by,
@@ -128,6 +151,7 @@ def main() -> int:
                       for k2, v in count_phase.items() if k2 != "shards"},
             "links": {k2: round(v, 6) if isinstance(v, float) else v
                       for k2, v in link_phase.items() if k2 != "shards"},
+            **ext_rows,
         }
         if n >= 4 and n % 2 == 0:
             # multi-slice view: ICI/DCN split under the two-level router
