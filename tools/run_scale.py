@@ -190,8 +190,17 @@ def main() -> int:
     def simulate_and_scan(genome, kr, batch_idx):
         """One batch: sample starts, gather reads, fast scan -> key lanes."""
         kb = jax.random.fold_in(kr, batch_idx)
-        starts = jax.random.randint(kb, (batch,), 0, G - read_len, dtype=jnp.int32)
-        offs = jax.lax.broadcasted_iota(jnp.int32, (batch, read_len), 1)
+        if G - read_len < (1 << 31):
+            starts = jax.random.randint(
+                kb, (batch,), 0, G - read_len, dtype=jnp.int32
+            ).astype(jnp.uint32)
+        else:
+            # randint's int32 maxval overflows at 3 Gbp: sample 32 uniform
+            # bits and reduce mod the range (bias < 2^-31 -- synthetic data)
+            starts = jax.random.bits(kb, (batch,), jnp.uint32) % jnp.uint32(
+                G - read_len
+            )
+        offs = jax.lax.broadcasted_iota(jnp.uint32, (batch, read_len), 1)
         reads = genome[starts[:, None] + offs]
         codes = jnp.zeros((batch, L), dtype=jnp.uint8).at[:, :read_len].set(reads)
         lengths = jnp.full((batch,), read_len, dtype=jnp.int32)
@@ -389,10 +398,19 @@ def main() -> int:
             1 if rec_bytes <= 3 * link_budget
             else int(np.ceil(rec_bytes / link_budget))
         )
-    try:
+    if 2 * n_nodes > (1 << 26) or args.park_keys:
+        # host copies are the durable extension inputs: the device key
+        # buffers free before the jump (the chr-scale memory plan needs
+        # that HBM) AND a transient-failure retry re-runs from them
+        khi = np.asarray(khi)
+        klo = np.asarray(klo)
+        valid = np.asarray(valid)
+
+    def run_extension(khi, klo, valid):
+        parts = link_partitions
         if args.park_keys or args.park_links:
-            link_partitions = max(link_partitions, 2)
-            emit("links_parked", partitions=link_partitions,
+            parts = max(parts, 2)
+            emit("links_parked", partitions=parts,
                  chunk_nodes=args.link_chunk, park_keys=args.park_keys,
                  park_links=args.park_links)
             kh = np.asarray(khi) if args.park_keys else khi
@@ -400,7 +418,7 @@ def main() -> int:
             va = np.asarray(valid) if args.park_keys else valid
             links, link_ovf = dbg.build_unitig_links_parked(
                 kh, kl, va, k=K,
-                partitions=link_partitions, chunk_nodes=args.link_chunk,
+                partitions=parts, chunk_nodes=args.link_chunk,
                 park_links=args.park_links,
             )
             assert link_ovf == 0, "raise link slack"
@@ -414,18 +432,18 @@ def main() -> int:
             else:
                 float(links[0])  # hard sync
             emit("links", wall_s=round(time.perf_counter() - t0, 3),
-                 partitions=link_partitions)
-        elif link_partitions > 1:
-            emit("links_outofcore", partitions=link_partitions,
+                 partitions=parts)
+        elif parts > 1:
+            emit("links_outofcore", partitions=parts,
                  chunk_nodes=args.link_chunk)
             links, link_ovf = dbg.build_unitig_links_ooc(
                 khi, klo, valid, k=K,
-                partitions=link_partitions, chunk_nodes=args.link_chunk,
+                partitions=parts, chunk_nodes=args.link_chunk,
             )
             assert link_ovf == 0, "raise link slack"
             float(links[0])  # hard sync (relay ignores block_until_ready)
             emit("links", wall_s=round(time.perf_counter() - t0, 3),
-                 partitions=link_partitions)
+                 partitions=parts)
         else:
             links = dbg.build_unitig_links_join(khi, klo, valid, k=K)
         # above ~64M states: per-round donated-buffer jump (pointer_jump's
@@ -459,13 +477,30 @@ def main() -> int:
             lin_heads, n_cyc_states, max_rank = graph_stats(
                 graph.head, graph.rank, graph.is_cycle, valid
             )
-        lin_heads = int(lin_heads)
-    except Exception as exc:
-        import traceback
+        return khi, klo, valid, graph, int(lin_heads), n_cyc_states, max_rank
 
-        traceback.print_exc()
-        emit("extension_failed", error=str(exc)[:2000])
-        return 1
+    # one retry for TRANSIENT relay failures (the remote compile helper
+    # occasionally 500s on tiny graphs at the tail of multi-hour runs --
+    # runs/chr1_r3c: 1h45m of count+links+jump lost to one 2 KB compile).
+    # Graph-sized faults (OOM etc.) are not transient and fail immediately.
+    for attempt in range(2):
+        try:
+            khi, klo, valid, graph, lin_heads, n_cyc_states, max_rank = (
+                run_extension(khi, klo, valid)
+            )
+            break
+        except Exception as exc:
+            import traceback
+
+            traceback.print_exc()
+            msg = str(exc)
+            transient = "remote_compile" in msg or "HTTP 50" in msg
+            if attempt == 0 and transient:
+                emit("extension_retry", error=msg[:400])
+                time.sleep(180)  # relay wedges clear on their own (NOTES)
+                continue
+            emit("extension_failed", error=msg[:2000])
+            return 1
     ext_wall = time.perf_counter() - t0
     emit(
         "extension",
