@@ -144,6 +144,30 @@ def main() -> int:
                     k2: round(v, 6) if isinstance(v, float) else v
                     for k2, v in ext.items() if k2 != "shards"
                 }
+            if n >= 2 * args.slices and n % args.slices == 0:
+                # pod-scale view: ICI/DCN split of the extension's
+                # traffic under the two-level layout (link records and
+                # the summed jump gather requests)
+                pmat, rmats, fmat = comm_model.jump_request_matrices(
+                    links_np, n_shards=n
+                )
+                gsum = pmat + fmat
+                for m2 in rmats:
+                    gsum = gsum + m2
+                ext_rows["extension_two_level"] = {
+                    "links": {
+                        k2: round(v, 6) if isinstance(v, float) else v
+                        for k2, v in comm_model.two_level_split(
+                            lmat, n_slices=args.slices
+                        ).items()
+                    },
+                    "jump_requests": {
+                        k2: round(v, 6) if isinstance(v, float) else v
+                        for k2, v in comm_model.two_level_split(
+                            gsum, n_slices=args.slices
+                        ).items()
+                    },
+                }
         row = {
             "shards": n,
             "route_by": args.route_by,
