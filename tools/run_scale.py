@@ -182,9 +182,24 @@ def main() -> int:
     key = jax.random.PRNGKey(args.seed)
     kg, kr = jax.random.split(key)
 
+    # the genome lives as an OVERLAPPED 2-D array [n_rows, ROW + read_len]
+    # (row r = bases [r*ROW, r*ROW + ROW + read_len)): a read gather then
+    # needs only two SMALL int32 index lanes (row, col).  A flat 3 Gbp
+    # array would need int64 gather indices, which x64-off jax silently
+    # truncates to int32 -- wrapping every start past 2^31 to wrong bases.
+    ROW = 1 << 20
+    n_rows = (G + ROW - 1) // ROW
+
     @jax.jit
     def make_genome(kg):
-        return jax.random.randint(kg, (G,), 0, 4, dtype=jnp.int32).astype(jnp.uint8)
+        flat = jax.random.randint(kg, (G,), 0, 4, dtype=jnp.int32).astype(
+            jnp.uint8
+        )
+        pad = jnp.zeros((n_rows * ROW + ROW - G,), dtype=jnp.uint8)
+        flat = jnp.concatenate([flat, pad])
+        main = flat[: n_rows * ROW].reshape(n_rows, ROW)
+        nxt = flat[ROW : ROW + n_rows * ROW].reshape(n_rows, ROW)
+        return jnp.concatenate([main, nxt[:, :read_len]], axis=1)
 
     @jax.jit
     def simulate_and_scan(genome, kr, batch_idx):
@@ -200,8 +215,10 @@ def main() -> int:
             starts = jax.random.bits(kb, (batch,), jnp.uint32) % jnp.uint32(
                 G - read_len
             )
-        offs = jax.lax.broadcasted_iota(jnp.uint32, (batch, read_len), 1)
-        reads = genome[starts[:, None] + offs]
+        row = (starts // jnp.uint32(ROW)).astype(jnp.int32)
+        col = (starts % jnp.uint32(ROW)).astype(jnp.int32)
+        offs = jax.lax.broadcasted_iota(jnp.int32, (batch, read_len), 1)
+        reads = genome[row[:, None], col[:, None] + offs]
         codes = jnp.zeros((batch, L), dtype=jnp.uint8).at[:, :read_len].set(reads)
         lengths = jnp.full((batch,), read_len, dtype=jnp.int32)
         recs = minimizer.fast_scan(codes, lengths, k=K, m=M)
@@ -236,7 +253,7 @@ def main() -> int:
 
     t0 = time.perf_counter()
     genome = make_genome(kg)
-    float(genome[0])
+    float(genome[0, 0])
     emit("genome", wall_s=round(time.perf_counter() - t0, 3))
 
     partitions = args.partitions
@@ -266,11 +283,18 @@ def main() -> int:
             @jax.jit
             def simulate_super(genome, kr, batch_idx):
                 kb = jax.random.fold_in(kr, batch_idx)
-                starts = jax.random.randint(
-                    kb, (batch,), 0, G - read_len, dtype=jnp.int32
-                )
+                if G - read_len < (1 << 31):
+                    starts = jax.random.randint(
+                        kb, (batch,), 0, G - read_len, dtype=jnp.int32
+                    ).astype(jnp.uint32)
+                else:
+                    starts = jax.random.bits(
+                        kb, (batch,), jnp.uint32
+                    ) % jnp.uint32(G - read_len)
+                row = (starts // jnp.uint32(ROW)).astype(jnp.int32)
+                col = (starts % jnp.uint32(ROW)).astype(jnp.int32)
                 offs = jax.lax.broadcasted_iota(jnp.int32, (batch, read_len), 1)
-                reads = genome[starts[:, None] + offs]
+                reads = genome[row[:, None], col[:, None] + offs]
                 codes = jnp.zeros((batch, L), dtype=jnp.uint8)
                 codes = codes.at[:, :read_len].set(reads)
                 lengths = jnp.full((batch,), read_len, dtype=jnp.int32)
