@@ -525,9 +525,20 @@ class FastAssembler:
             if ovf:
                 raise RuntimeError(f"link-join routing overflow ({ovf})")
             graph = shard_dbg.sharded_pointer_jump(links, mesh=mesh)
-        out = dbg.materialize_unitigs(
-            np.asarray(khi), np.asarray(klo), np.asarray(valid), graph, cfg.k
-        )
+        if wide:
+            # bounded-memory bucketed assembly: chains materialize per
+            # head-hash bucket (the single-host form of the pod-scale
+            # materialization shuffle); same output set as the plain
+            # materializer (differential-tested)
+            out = dbg.materialize_unitigs_partitioned(
+                np.asarray(khi), np.asarray(klo), np.asarray(valid),
+                graph, cfg.k,
+            )
+        else:
+            out = dbg.materialize_unitigs(
+                np.asarray(khi), np.asarray(klo), np.asarray(valid),
+                graph, cfg.k,
+            )
         stats.entries_post_extension = len(out)
         return out, stats
 

@@ -1281,6 +1281,122 @@ def _host_state_vals(
     return v
 
 
+def materialize_unitigs_partitioned(
+    khi: np.ndarray,
+    klo: np.ndarray,
+    valid: np.ndarray,
+    graph: CompactedGraph,
+    k: int,
+    partitions: int = 8,
+) -> List[str]:
+    """materialize_unitigs with bounded per-bucket host memory.
+
+    Chains are bucketed by a hash of their head id (a chain is atomic
+    under head bucketing) and each bucket runs the flat-buffer placement
+    pass over ONLY its own states, so peak host memory beyond the input
+    arrays is O(total/partitions).  This is the single-host rehearsal
+    form of config 5's distributed materialization: at pod scale each
+    host receives exactly the state records of the chains it owns
+    (routed by head hash -- the same exchange shape as the sharded
+    count) and streams buckets through this pass.  Same output SET as
+    ``materialize_unitigs`` (bucket order differs); palindromic twins
+    are deduped by the chain-invariant rule "emit from the twin whose
+    head id is smaller" instead of the cross-chain set, so no bucket
+    ever needs another bucket's output.  Accepts int64 graph arrays
+    (the wide-id pipeline's host conversion) unchanged.
+    """
+    khi_u = np.asarray(khi, dtype=np.uint64)
+    klo_u = np.asarray(klo, dtype=np.uint64)
+    valid = np.asarray(valid)
+    head = np.asarray(graph.head)
+    rank = np.asarray(graph.rank).astype(np.int64)
+    is_cycle = np.asarray(graph.is_cycle)
+    node_valid = np.repeat(valid, 2)
+
+    out: List[str] = []
+    # cycles: rare on real data; the shared host cycle path runs once,
+    # unbucketed (bucketing them too would only need routing by cycle
+    # head, which graph.head already is)
+    cyc_states = np.flatnonzero(is_cycle & node_valid)
+    if cyc_states.size:
+        cs, _, _ = _materialize_cycles(
+            np.asarray(graph.next_state), head, cyc_states,
+            _host_state_vals(khi_u, klo_u, k, cyc_states), k, None,
+        )
+        out.extend(cs)
+
+    lin_states = np.flatnonzero(node_valid & ~is_cycle)
+    if lin_states.size == 0:
+        return out
+    # multiplicative hash over head ids (int64-safe for the wide path)
+    hb = (
+        head[lin_states].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        >> np.uint64(40)
+    ) % np.uint64(partitions)
+
+    n_lo = min(k, 16)
+    for b in range(partitions):
+        sel = lin_states[hb == np.uint64(b)]
+        if sel.size == 0:
+            continue
+        order = np.lexsort((rank[sel], head[sel]))
+        s_sorted = sel[order]
+        h_sorted = head[sel][order]
+        chain_start = np.empty(len(s_sorted), dtype=bool)
+        chain_start[0] = True
+        chain_start[1:] = h_sorted[1:] != h_sorted[:-1]
+        starts = np.flatnonzero(chain_start)
+        chain_lens = np.diff(np.append(starts, len(s_sorted)))
+        out_lens = chain_lens + (k - 1)
+        out_off = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=out_off[1:])
+        buf = np.empty(out_off[-1], dtype=np.uint8)
+
+        # per-state LAST base, no rc loop: forward states end in klo & 3,
+        # rc states in 3 - first_code (complement == 3 - code in the
+        # T=0 G=1 C=2 A=3 encoding)
+        node = s_sorted >> 1
+        strand = s_sorted & 1
+        khi_g = khi_u[node]
+        klo_g = klo_u[node]
+        if k > n_lo:
+            first_code = (khi_g >> np.uint64(2 * (k - n_lo) - 2)) & np.uint64(3)
+        else:
+            first_code = (klo_g >> np.uint64(2 * k - 2)) & np.uint64(3)
+        code = np.where(
+            strand == 0, klo_g & np.uint64(3), np.uint64(3) - first_code
+        )
+        byte_np = _CODE_CHARS[code.astype(np.int64)]
+
+        # chain prefixes: the head state's first k-1 bases (the rc loop
+        # runs only for heads); its last base arrives via the byte lane
+        # like any other state's, so body placement is uniform
+        head_sids = s_sorted[starts]
+        first_vals = _host_state_vals(khi_u, klo_u, k, head_sids)
+        for j in range(k - 1):
+            shift = np.uint64(2 * (k - 1 - j))
+            buf[out_off[:-1] + j] = _CODE_CHARS[
+                ((first_vals >> shift) & np.uint64(3)).astype(np.int64)
+            ]
+        chain_id = np.cumsum(chain_start) - 1
+        local_i = np.arange(len(s_sorted), dtype=np.int64) - starts[chain_id]
+        buf[out_off[chain_id] + (k - 1) + local_i] = byte_np
+
+        # twin chain's head = (this chain's last state) ^ 1: the
+        # palindrome tiebreak needs no cross-bucket state
+        last_sids = s_sorted[starts + chain_lens - 1]
+        data = buf.tobytes()
+        for c in range(len(starts)):
+            u = data[out_off[c] : out_off[c + 1]].decode()
+            rc_u = _rc_str(u)
+            if u > rc_u:
+                continue
+            if u == rc_u and not int(head_sids[c]) < int(last_sids[c] ^ 1):
+                continue
+            out.append(u)
+    return out
+
+
 def _materialize_cycles(
     next_state: np.ndarray,
     head: np.ndarray,

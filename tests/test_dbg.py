@@ -645,3 +645,49 @@ def test_link_partition_balance_under_count_partition_order():
         bc = np.bincount(pid, minlength=P_link)
         worst = max(worst, bc.max() / bc.mean())
     assert worst < 1.25, worst  # raw combine measured 1.97 here
+
+
+def test_materialize_partitioned_matches_host():
+    """materialize_unitigs_partitioned == materialize_unitigs as a SET on
+    every shape (chains, cycles, palindromes, hairpins), at several
+    bucket counts including 1 -- the bounded-memory single-host form of
+    config 5's distributed materialization.  The palindrome case pins
+    the chain-invariant twin-head dedup (the cross-chain set the plain
+    materializer uses is unavailable across buckets)."""
+    rng = np.random.default_rng(23)
+    cases = []
+    for seed, glen, k in [(0, 200, 5), (2, 500, 11), (3, 1200, 31)]:
+        g = "".join(np.random.default_rng(seed).choice(list("ACGT"),
+                                                       size=glen))
+        cases.append((genome_kmers(g, k), k))
+    cases.append((genome_kmers("ACGTGCAATCGGATCCA", 7), 7))  # palindrome
+    period = "ACGGTCA"
+    cases.append(
+        ([(period * 3)[i:i + 5] for i in range(len(period))], 5)
+    )  # cycle
+    big = "".join(rng.choice(list("ACGT"), size=3000))
+    cases.append((genome_kmers(big + big[:20], 21), 21))
+
+    for kmers, k in cases:
+        hi, lo, valid = _keys_arrays(kmers, k)
+        links = dbg.build_unitig_links_join(
+            jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid), k=k
+        )
+        graph = dbg.pointer_jump(links)
+        want = sorted(dbg.materialize_unitigs(hi, lo, valid, graph, k))
+        for parts in (1, 3, 8):
+            got = sorted(dbg.materialize_unitigs_partitioned(
+                hi, lo, valid, graph, k, partitions=parts
+            ))
+            assert got == want, (k, parts)
+        # int64 graph arrays (the wide-id pipeline's host conversion)
+        g64 = dbg.CompactedGraph(
+            next_state=np.asarray(graph.next_state).astype(np.int64),
+            head=np.asarray(graph.head).astype(np.int64),
+            rank=np.asarray(graph.rank).astype(np.int64),
+            is_cycle=np.asarray(graph.is_cycle),
+        )
+        got64 = sorted(dbg.materialize_unitigs_partitioned(
+            hi, lo, valid, g64, k, partitions=4
+        ))
+        assert got64 == want, k
