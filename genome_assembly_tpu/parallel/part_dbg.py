@@ -384,26 +384,13 @@ def partitioned_unitig_links(
     return links.reshape(2 * n), overflow
 
 
-def _links_join_body(
-    khi_l, klo_l, valid_l, *, k, n_shards, rows, cap_rec, cap_edge
-):
-    """Per-shard routed sort-join links (the distributed form of
-    ops/dbg.py build_unitig_links_join).
-
-    Each shard emits OUT (key = suffix) / IN (key = prefix) boundary
-    records for its own 2*rows states, routes them to the key's HASH owner,
-    pair-tests adjacent rows of the locally sorted records (all records of
-    one (k-1)-mer land on one shard, so group adjacency is complete), and
-    routes the resulting edges back to each source state's home shard.
-
-    No table lookups anywhere: ~100x cheaper than the binary-search bodies
-    above at scale (NOTES.md gather-vs-sort measurements).
-    """
-    base_node = lax.axis_index(SHARD_AXIS).astype(jnp.int32) * rows
+def _boundary_records(khi_l, klo_l, valid_l, *, k, rows, gid):
+    """The 4 per-node boundary records of this shard's states: OUT rows
+    keyed by the oriented suffix, IN rows by the oriented prefix, payload
+    = (side << 31) | gid.  Shared by the flat and two-level joins."""
     rhi_l, rlo_l = encode.reverse_complement_packed(khi_l, klo_l, k)
     node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
     strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
-    gid = (2 * (base_node + node_l) + strand).astype(jnp.uint32)
     ohi = jnp.where(strand == 0, khi_l[node_l], rhi_l[node_l])
     olo = jnp.where(strand == 0, klo_l[node_l], rlo_l[node_l])
     state_valid = valid_l[node_l]
@@ -423,7 +410,6 @@ def _links_join_body(
         pre_hi = jnp.zeros_like(ohi)
         pre_lo = olo >> 2
 
-    sent = jnp.uint32(0xFFFFFFFF)
     key_hi = jnp.concatenate([suf_hi, pre_hi])
     key_lo = jnp.concatenate([suf_lo, pre_lo])
     side = jnp.concatenate(
@@ -431,18 +417,16 @@ def _links_join_body(
     )
     payload = (side << 31) | jnp.concatenate([gid, gid])
     active = jnp.concatenate([state_valid, state_valid])
+    return key_hi, key_lo, payload, active
 
-    owner = _key_owner(key_hi, key_lo, n_shards)
-    blocks, _, ovf_rec = _pack_by_owner(
-        owner, active, (key_hi, key_lo, payload), (sent, sent, sent),
-        n_shards, cap_rec,
-    )
-    r_khi = _xchg(blocks[0]).reshape(-1)
-    r_klo = _xchg(blocks[1]).reshape(-1)
-    r_pay = _xchg(blocks[2]).reshape(-1)
 
-    # sort received records by (key, side, state): payload's top bit is the
-    # side, so OUT rows precede IN rows within a key group
+def _pair_edges(r_khi, r_klo, r_pay):
+    """Sort received boundary records and pair-test adjacent rows: a key
+    group of exactly one OUT + one IN row (payload bit 31 = side) is a
+    unitig edge.  Returns (edge mask, src state, dst state) in sorted
+    order; hairpins (dst == src ^ 1) are excluded.  Shared by the flat
+    and two-level joins (identical semantics => bit-identical edges)."""
+    sent = jnp.uint32(0xFFFFFFFF)
     khi_s, klo_s, pay_s = lax.sort((r_khi, r_klo, r_pay), num_keys=3)
     v_s = khi_s != sent
     side_s = (pay_s >> 31).astype(jnp.int32)
@@ -466,7 +450,43 @@ def _links_join_body(
     )
     target = nxt(state_s, -1)
     hairpin = target == (state_s ^ 1)
-    edge = pair & ~hairpin
+    return pair & ~hairpin, state_s, target
+
+
+def _links_join_body(
+    khi_l, klo_l, valid_l, *, k, n_shards, rows, cap_rec, cap_edge
+):
+    """Per-shard routed sort-join links (the distributed form of
+    ops/dbg.py build_unitig_links_join).
+
+    Each shard emits OUT (key = suffix) / IN (key = prefix) boundary
+    records for its own 2*rows states, routes them to the key's HASH owner,
+    pair-tests adjacent rows of the locally sorted records (all records of
+    one (k-1)-mer land on one shard, so group adjacency is complete), and
+    routes the resulting edges back to each source state's home shard.
+
+    No table lookups anywhere: ~100x cheaper than the binary-search bodies
+    above at scale (NOTES.md gather-vs-sort measurements).
+    """
+    base_node = lax.axis_index(SHARD_AXIS).astype(jnp.int32) * rows
+    node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
+    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
+    gid = (2 * (base_node + node_l) + strand).astype(jnp.uint32)
+    key_hi, key_lo, payload, active = _boundary_records(
+        khi_l, klo_l, valid_l, k=k, rows=rows, gid=gid
+    )
+
+    sent = jnp.uint32(0xFFFFFFFF)
+    owner = _key_owner(key_hi, key_lo, n_shards)
+    blocks, _, ovf_rec = _pack_by_owner(
+        owner, active, (key_hi, key_lo, payload), (sent, sent, sent),
+        n_shards, cap_rec,
+    )
+    r_khi = _xchg(blocks[0]).reshape(-1)
+    r_klo = _xchg(blocks[1]).reshape(-1)
+    r_pay = _xchg(blocks[2]).reshape(-1)
+
+    edge, state_s, target = _pair_edges(r_khi, r_klo, r_pay)
 
     # route each edge to its source state's home shard and scatter (at most
     # one OUT record per state => destinations unique)

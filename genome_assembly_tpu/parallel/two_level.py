@@ -226,6 +226,166 @@ def sharded_count_two_level(
     )
 
 
+def _ici_index(ici_axis, ici_shape):
+    """Combined row-major intra-slice device index for one axis name or a
+    tuple of axis names (multi-axis ICI torus)."""
+    if isinstance(ici_axis, str):
+        return lax.axis_index(ici_axis).astype(jnp.int32)
+    idx = lax.axis_index(ici_axis[0]).astype(jnp.int32)
+    for a, size in zip(ici_axis[1:], ici_shape[1:]):
+        idx = idx * size + lax.axis_index(a).astype(jnp.int32)
+    return idx
+
+
+def _links_join_body_2level(
+    khi_l, klo_l, valid_l, *, k, n_slices, n_ici, ici_shape, rows,
+    cap1, cap2, cap_e1, cap_e2, ici_axis, n_lead,
+):
+    """Per-device routed sort-join with the record exchange split into an
+    intra-slice ICI stage and one aggregated inter-slice DCN stage (and
+    the edges-home return trip split the same way).
+
+    The global owner hash and the local pair test are the flat join's
+    (part_dbg._key_owner / _pair_edges), and stage-2 delivery lands every
+    record on the same global owner, so edges are BIT-IDENTICAL to
+    partitioned_unitig_links_join over the equivalent flat mesh.
+    """
+    from genome_assembly_tpu.parallel import part_dbg
+
+    ds = lax.axis_index(SLICE_AXIS).astype(jnp.int32)
+    dd = _ici_index(ici_axis, ici_shape)
+    g_me = ds * n_ici + dd
+    base_node = g_me * rows
+    node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
+    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
+    gid = (2 * (base_node + node_l) + strand).astype(jnp.uint32)
+    key_hi, key_lo, payload, active = part_dbg._boundary_records(
+        khi_l, klo_l, valid_l, k=k, rows=rows, gid=gid
+    )
+
+    n_total = n_slices * n_ici
+    owner = part_dbg._key_owner(key_hi, key_lo, n_total)
+    fills = (SENTINEL, SENTINEL, SENTINEL)
+    # stage 1 (ICI): to the owner's intra-slice column
+    dd_own = jnp.where(active, owner % n_ici, n_ici).astype(jnp.uint32)
+    lanes1, ovf1 = _bucket_exchange(
+        (key_hi, key_lo, payload), dd_own, n_ici, cap1, ici_axis,
+        fills=fills,
+    )
+    # stage 2 (DCN): to the owner's slice, one aggregated message per pair
+    v1 = lanes1[0] != SENTINEL
+    own1 = part_dbg._key_owner(lanes1[0], lanes1[1], n_total)
+    ds_own = jnp.where(v1, own1 // n_ici, n_slices).astype(jnp.uint32)
+    lanes2, ovf2 = _bucket_exchange(
+        lanes1, ds_own, n_slices, cap2, SLICE_AXIS, fills=fills
+    )
+
+    edge, state_s, target = part_dbg._pair_edges(*lanes2)
+
+    # edges home, two-level in reverse: ICI to the home's column, DCN to
+    # the home's slice.  Lanes ride as uint32 (state ids stay < 2^31).
+    home = jnp.clip(state_s, 0, 2 * rows * n_total - 1) // (2 * rows)
+    e_lanes = (
+        jnp.where(edge, state_s, -1).astype(jnp.uint32),
+        target.astype(jnp.uint32),
+    )
+    efills = (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF))
+    dd_home = jnp.where(edge, home % n_ici, n_ici).astype(jnp.uint32)
+    el1, ovf3 = _bucket_exchange(
+        e_lanes, dd_home, n_ici, cap_e1, ici_axis, fills=efills
+    )
+    src1 = el1[0].astype(jnp.int32)
+    ev1 = el1[0] != jnp.uint32(0xFFFFFFFF)
+    home1 = jnp.clip(src1, 0, 2 * rows * n_total - 1) // (2 * rows)
+    ds_home = jnp.where(ev1, home1 // n_ici, n_slices).astype(jnp.uint32)
+    el2, ovf4 = _bucket_exchange(
+        el1, ds_home, n_slices, cap_e2, SLICE_AXIS, fills=efills
+    )
+    b_src = el2[0].astype(jnp.int32)
+    b_dst = el2[1].astype(jnp.int32)
+    ev2 = el2[0] != jnp.uint32(0xFFFFFFFF)
+
+    base_state = 2 * base_node
+    next_l = jnp.full(2 * rows, -1, dtype=jnp.int32)
+    loc = jnp.where(ev2, b_src - base_state, 2 * rows)
+    next_l = next_l.at[loc].set(b_dst, mode="drop", unique_indices=True)
+    overflow = (ovf1 + ovf2 + ovf3 + ovf4).astype(jnp.int32)
+    lead = (1,) * n_lead
+    return next_l.reshape(lead + (2 * rows,)), overflow.reshape(lead)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "slack"))
+def partitioned_unitig_links_join_two_level(
+    khi: jnp.ndarray,
+    klo: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    k: int,
+    mesh: Mesh,
+    slack: float = 4.0,
+):
+    """next_state[2N] via the routed sort-join over a (slices, *ici) mesh.
+
+    Drop-in for ``part_dbg.partitioned_unitig_links_join`` on multi-slice
+    jobs: boundary records cross DCN exactly once in aggregated
+    per-(slice, slice) messages (n_ici^2 fewer DCN messages than the flat
+    all_to_all; `comm_model.two_level_split` quantifies per workload).
+    Bit-identical links to the flat router.  The jump's routed gathers
+    stay on the flat router by design: request combining already bounds
+    their traffic by distinct chains (extension_phase_model: >=97%
+    efficiency at 256 shards), so links -- 4 records/state -- are the
+    phase DCN aggregation actually helps.
+    """
+    if k % 2 == 0:
+        raise ValueError("fast-mode dBG requires odd k")
+    axis_names = mesh.axis_names
+    if axis_names[0] != SLICE_AXIS or len(axis_names) < 2:
+        raise ValueError(
+            f"two-level mesh must be (slices, *ici_axes), got {axis_names}"
+        )
+    ici_axes = axis_names[1:]
+    ici_axis = ici_axes[0] if len(ici_axes) == 1 else ici_axes
+    ici_shape = tuple(mesh.shape[a] for a in ici_axes)
+    n_slices = mesh.shape[SLICE_AXIS]
+    n_ici = int(np.prod(ici_shape))
+    n_total = n_slices * n_ici
+    n = khi.shape[0]
+    if n % n_total:
+        raise ValueError(f"N={n} must divide mesh size {n_total}")
+    rows = n // n_total
+    n_lead = 1 + len(ici_axes)
+    n_local = 4 * rows  # boundary records per device
+    cap1 = max(1, int(np.ceil(n_local / n_ici * slack)))
+    cap2 = max(1, int(np.ceil(n_local / n_slices * slack)))
+    cap_e1 = max(1, int(np.ceil(2 * rows / n_ici * slack)))
+    cap_e2 = max(1, int(np.ceil(2 * rows / n_slices * slack)))
+
+    lead = (n_slices,) + ici_shape
+    zero = (0,) * n_lead
+
+    def body(khi_b, klo_b, valid_b):
+        return _links_join_body_2level(
+            khi_b[zero], klo_b[zero], valid_b[zero],
+            k=k, n_slices=n_slices, n_ici=n_ici, ici_shape=ici_shape,
+            rows=rows,
+            cap1=cap1, cap2=cap2, cap_e1=cap_e1, cap_e2=cap_e2,
+            ici_axis=ici_axis, n_lead=n_lead,
+        )
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(*axis_names),) * 3,
+        out_specs=(P(*axis_names), P(*axis_names)),
+    )
+    links, overflow = fn(
+        khi.reshape(lead + (rows,)),
+        klo.reshape(lead + (rows,)),
+        valid.reshape(lead + (rows,)),
+    )
+    return links.reshape(2 * n), overflow.reshape(n_total)
+
+
 def two_level_mesh(n_slices: int) -> Mesh:
     """(slices, shards) mesh over all devices, n_slices on the DCN axis."""
     devs = np.array(jax.devices())

@@ -794,3 +794,57 @@ def test_key_routed_checkpoint_resume_across_mesh_shapes(tmp_path, mesh8):
             batches, checkpoint_dir=ckpt, mesh=mesh8,
             k=k, m=m, parity=False, cutoff=cutoff, route_by="mmer",
         )
+
+
+@pytest.mark.parametrize("mesh3", [False, True])
+def test_two_level_links_join_equals_flat(mesh8, mesh3):
+    """Routed sort-join links over a (slices, *ici) mesh == the flat
+    partitioned join bit for bit (same owner hash, same pair test; the
+    records just cross DCN once in aggregated messages), on both a
+    (2, 4) two-axis and a (2, 2, 2) three-axis mesh."""
+    from genome_assembly_tpu.ops import dbg
+    from genome_assembly_tpu.parallel import part_dbg, two_level
+
+    k = 11
+    rng = np.random.default_rng(31)
+    genome = "".join(rng.choice(list("ACGT"), size=800))
+    keys = sorted(
+        {
+            min(
+                encode.pack_str(genome[i : i + k]),
+                encode.pack_str(
+                    genome[i : i + k].translate(str.maketrans("ACGT", "TGCA"))[::-1]
+                ),
+            )
+            for i in range(len(genome) - k + 1)
+        }
+    )
+    pad = 1024
+    n_lo = min(k, 16)
+    hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros(pad, dtype=bool)
+    for i, v in enumerate(keys):
+        hi[i] = v >> (2 * n_lo)
+        lo[i] = v & ((1 << (2 * n_lo)) - 1)
+        valid[i] = True
+    hi, lo, valid = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid)
+
+    want, ovf0 = part_dbg.partitioned_unitig_links_join(
+        hi, lo, valid, k=k, mesh=mesh8
+    )
+    assert int(np.sum(np.asarray(ovf0))) == 0
+    mesh = (
+        two_level.two_level_mesh3(2, 2, 2) if mesh3
+        else two_level.two_level_mesh(2)
+    )
+    got, ovf = two_level.partitioned_unitig_links_join_two_level(
+        hi, lo, valid, k=k, mesh=mesh
+    )
+    assert int(np.sum(np.asarray(ovf))) == 0
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    # and the single-chip join agrees
+    assert np.array_equal(
+        np.asarray(want),
+        np.asarray(dbg.build_unitig_links_join(hi, lo, valid, k=k)),
+    )
