@@ -409,6 +409,38 @@ def test_wide_pointer_jump_matches_single_device(mesh8):
     assert np.array_equal(np.asarray(g.is_cycle), np.asarray(want.is_cycle))
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_wide_pointer_jump_fuzz(mesh8, seed):
+    """Wide ranking == dbg.pointer_jump on random partial permutations
+    (in-degree <= 1 by construction; permutation cycles fully inside the
+    kept subset become real cycles, the rest break into chains)."""
+    from genome_assembly_tpu.ops import dbg
+    from genome_assembly_tpu.parallel import part_dbg
+
+    rng = np.random.default_rng(seed)
+    n2 = 512
+    rows2 = n2 // 8
+    sigma = rng.permutation(n2)
+    keep = rng.random(n2) < rng.uniform(0.3, 0.9)
+    next_state = np.where(keep, sigma, -1).astype(np.int32)
+
+    want = dbg.pointer_jump(jnp.asarray(next_state))
+    no = jnp.asarray(
+        np.where(next_state >= 0, next_state // rows2, -1).astype(np.int32)
+    )
+    nl = jnp.asarray(
+        np.where(next_state >= 0, next_state % rows2, -1).astype(np.int32)
+    )
+    g, ovf = part_dbg.partitioned_pointer_jump_wide(no, nl, mesh=mesh8)
+    assert int(np.sum(np.asarray(ovf))) == 0
+    head = np.asarray(g.head_owner) * rows2 + np.asarray(g.head_local)
+    assert np.array_equal(head, np.asarray(want.head))
+    assert np.array_equal(
+        np.asarray(g.rank_lo), np.asarray(want.rank).astype(np.uint32)
+    )
+    assert np.array_equal(np.asarray(g.is_cycle), np.asarray(want.is_cycle))
+
+
 def test_wide_rank_carry():
     """The 64-bit rank lanes carry across the 2**32 boundary (config 5
     chains can exceed uint32 only past ~4.3 Gbp/strand; the lanes remove
