@@ -718,37 +718,14 @@ def _links_join_body_wide(
     id (< 2*rows, always < 2**31), and the emitting shard -- the state's
     home by construction -- is recovered from the exchange block row.
     """
-    me = lax.axis_index(SHARD_AXIS).astype(jnp.int32)
-    rhi_l, rlo_l = encode.reverse_complement_packed(khi_l, klo_l, k)
     node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
     strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
     lid = (2 * node_l + strand).astype(jnp.uint32)
-    ohi = jnp.where(strand == 0, khi_l[node_l], rhi_l[node_l])
-    olo = jnp.where(strand == 0, klo_l[node_l], rlo_l[node_l])
-    state_valid = valid_l[node_l]
-
-    n_lo = min(k, 16)
-    n_hi = k - n_lo
-    if n_hi > 0:
-        suf_hi = ohi & jnp.uint32((1 << (2 * n_hi - 2)) - 1)
-        suf_lo = olo
-        pre_hi = ohi >> 2
-        pre_lo = (olo >> 2) | ((ohi & 3) << 30)
-    else:
-        suf_hi = jnp.zeros_like(ohi)
-        suf_lo = olo & jnp.uint32((1 << (2 * k - 2)) - 1)
-        pre_hi = jnp.zeros_like(ohi)
-        pre_lo = olo >> 2
+    key_hi, key_lo, payload, active = _boundary_records(
+        khi_l, klo_l, valid_l, k=k, rows=rows, gid=lid
+    )
 
     sent = jnp.uint32(0xFFFFFFFF)
-    key_hi = jnp.concatenate([suf_hi, pre_hi])
-    key_lo = jnp.concatenate([suf_lo, pre_lo])
-    side = jnp.concatenate(
-        [jnp.zeros(2 * rows, jnp.uint32), jnp.ones(2 * rows, jnp.uint32)]
-    )
-    payload = (side << 31) | jnp.concatenate([lid, lid])
-    active = jnp.concatenate([state_valid, state_valid])
-
     owner = _key_owner(key_hi, key_lo, n_shards)
     blocks, _, ovf_rec = _pack_by_owner(
         owner, active, (key_hi, key_lo, payload), (sent, sent, sent),
