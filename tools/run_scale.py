@@ -242,7 +242,8 @@ def main() -> int:
         return khi[:kept_cap], klo[:kept_cap], valid[:kept_cap], n_distinct, n_kept
 
     @jax.jit
-    def graph_stats(head, rank, is_cycle, valid):
+    @jax.jit
+    def _graph_stats_jit(head, rank, is_cycle, valid):
         node_valid = jnp.repeat(valid, 2)
         ids = jnp.arange(head.shape[0], dtype=jnp.int32)
         # a linear chain's head state is its own head (isolated states too)
@@ -250,6 +251,23 @@ def main() -> int:
         n_cyc_states = jnp.sum(is_cycle & node_valid)
         max_rank = jnp.max(jnp.where(node_valid, rank, 0))
         return lin_heads, n_cyc_states, max_rank
+
+    def graph_stats(head, rank, is_cycle, valid):
+        # stats are COSMETIC: the compacted graph already exists when this
+        # runs.  The r3c/r3d chr1 runs each lost hours to the relay's AOT
+        # helper deterministically crashing on one of the EAGER stat ops'
+        # tiny graphs (HTTP 500 at graph_stats, runs/chr1_r3d.err); one
+        # fused jit is a different jaxpr, and if even that fails the run
+        # reports -1 stats instead of dying.
+        try:
+            a, b, c = _graph_stats_jit(
+                jnp.asarray(head), jnp.asarray(rank),
+                jnp.asarray(is_cycle), jnp.asarray(valid),
+            )
+            return int(a), int(b), int(c)
+        except Exception as exc:  # pragma: no cover - relay-specific
+            emit("graph_stats_failed", error=str(exc)[:300])
+            return -1, -1, -1
 
     t0 = time.perf_counter()
     genome = make_genome(kg)
@@ -529,9 +547,11 @@ def main() -> int:
     emit(
         "extension",
         wall_s=round(ext_wall, 3),
-        linear_unitigs=lin_heads // 2,  # two strand chains per unitig
+        # two strand chains per unitig; -1 = stats unavailable (see
+        # graph_stats' relay-failure fallback)
+        linear_unitigs=lin_heads // 2 if lin_heads >= 0 else -1,
         cyclic_states=int(n_cyc_states),
-        longest_chain=int(max_rank) + 1,
+        longest_chain=int(max_rank) + 1 if max_rank >= 0 else -1,
         states_per_s=round(2 * kept_cap / ext_wall, 1),
     )
     emit(
