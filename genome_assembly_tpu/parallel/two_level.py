@@ -314,6 +314,177 @@ def _links_join_body_2level(
     return next_l.reshape(lead + (2 * rows,)), overflow.reshape(lead)
 
 
+def _links_join_body_2level_wide(
+    khi_l, klo_l, valid_l, *, k, n_slices, n_ici, ici_shape, rows,
+    cap1, cap2, cap_e1, cap_e2, ici_axis, n_lead,
+):
+    """Wide (owner, local) ids over the two-level router: config 5's
+    >2**31-state extension on a multi-slice pod needs BOTH at once.
+
+    The flat wide join recovers a record's home shard from the tiled
+    all_to_all block row; after two hops that information is gone, so
+    the home rides as an explicit uint32 lane instead (one extra lane on
+    the wire -- extension_phase_model's wide=True prices exactly this).
+    """
+    from genome_assembly_tpu.parallel import part_dbg
+
+    ds = lax.axis_index(SLICE_AXIS).astype(jnp.int32)
+    dd = _ici_index(ici_axis, ici_shape)
+    g_me = ds * n_ici + dd
+    node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
+    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
+    lid = (2 * node_l + strand).astype(jnp.uint32)
+    key_hi, key_lo, payload, active = part_dbg._boundary_records(
+        khi_l, klo_l, valid_l, k=k, rows=rows, gid=lid
+    )
+    home_lane = jnp.full(4 * rows, g_me, dtype=jnp.uint32)
+
+    n_total = n_slices * n_ici
+    owner = part_dbg._key_owner(key_hi, key_lo, n_total)
+    fills = (SENTINEL, SENTINEL, SENTINEL, SENTINEL)
+    dd_own = jnp.where(active, owner % n_ici, n_ici).astype(jnp.uint32)
+    lanes1, ovf1 = _bucket_exchange(
+        (key_hi, key_lo, payload, home_lane), dd_own, n_ici, cap1,
+        ici_axis, fills=fills,
+    )
+    v1 = lanes1[0] != SENTINEL
+    own1 = part_dbg._key_owner(lanes1[0], lanes1[1], n_total)
+    ds_own = jnp.where(v1, own1 // n_ici, n_slices).astype(jnp.uint32)
+    lanes2, ovf2 = _bucket_exchange(
+        lanes1, ds_own, n_slices, cap2, SLICE_AXIS, fills=fills
+    )
+
+    # pair test with the home lane riding as a 4th sort key (ordering
+    # within a key group is side-first via payload bit 31, as flat wide)
+    sent = SENTINEL
+    khi_s, klo_s, pay_s, home_s = lax.sort(lanes2, num_keys=4)
+    v_s = khi_s != sent
+    side_s = (pay_s >> 31).astype(jnp.int32)
+    lid_s = (pay_s & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    own_i = home_s.astype(jnp.int32)
+
+    def nxt(x, fill):
+        return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
+
+    def prv(x, fill):
+        return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+    same_next = (nxt(khi_s, sent ^ 1) == khi_s) & (nxt(klo_s, sent ^ 1) == klo_s)
+    same_prev = (prv(khi_s, sent ^ 1) == khi_s) & (prv(klo_s, sent ^ 1) == klo_s)
+    pair = (
+        ~same_prev & same_next & ~nxt(same_next, True)
+        & (side_s == 0) & (nxt(side_s, 1) == 1) & v_s
+    )
+    t_own = nxt(own_i, -1)
+    t_lid = nxt(lid_s, -1)
+    hairpin = (t_own == own_i) & (t_lid == (lid_s ^ 1))
+    edge = pair & ~hairpin
+
+    # edges home, two-level by the home lane; 3 payload lanes
+    efills = (SENTINEL, SENTINEL, SENTINEL, SENTINEL)
+    e_lanes = (
+        jnp.where(edge, own_i, -1).astype(jnp.uint32),
+        lid_s.astype(jnp.uint32),
+        t_own.astype(jnp.uint32),
+        t_lid.astype(jnp.uint32),
+    )
+    dd_home = jnp.where(edge, own_i % n_ici, n_ici).astype(jnp.uint32)
+    el1, ovf3 = _bucket_exchange(
+        e_lanes, dd_home, n_ici, cap_e1, ici_axis, fills=efills
+    )
+    ev1 = el1[0] != sent
+    home1 = el1[0].astype(jnp.int32)
+    ds_home = jnp.where(ev1, home1 // n_ici, n_slices).astype(jnp.uint32)
+    el2, ovf4 = _bucket_exchange(
+        el1, ds_home, n_slices, cap_e2, SLICE_AXIS, fills=efills
+    )
+    ev2 = el2[0] != sent
+    b_src = el2[1].astype(jnp.int32)
+    b_to = el2[2].astype(jnp.int32)
+    b_tl = el2[3].astype(jnp.int32)
+
+    next_o = jnp.full(2 * rows, -1, dtype=jnp.int32)
+    next_ll = jnp.full(2 * rows, -1, dtype=jnp.int32)
+    loc = jnp.where(ev2, b_src, 2 * rows)
+    next_o = next_o.at[loc].set(b_to, mode="drop", unique_indices=True)
+    next_ll = next_ll.at[loc].set(b_tl, mode="drop", unique_indices=True)
+    overflow = (ovf1 + ovf2 + ovf3 + ovf4).astype(jnp.int32)
+    lead = (1,) * n_lead
+    return (
+        next_o.reshape(lead + (2 * rows,)),
+        next_ll.reshape(lead + (2 * rows,)),
+        overflow.reshape(lead),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "slack"))
+def partitioned_unitig_links_join_two_level_wide(
+    khi: jnp.ndarray,
+    klo: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    k: int,
+    mesh: Mesh,
+    slack: float = 4.0,
+):
+    """(next_owner, next_local)[2N] over a (slices, *ici) mesh: the wide
+    (shard, local) id join with DCN-aggregated record exchange -- both of
+    config 5's structural requirements (>2**31 states, multi-slice pod)
+    at once.  Same links as the flat wide join (differential-tested)."""
+    if k % 2 == 0:
+        raise ValueError("fast-mode dBG requires odd k")
+    axis_names = mesh.axis_names
+    if axis_names[0] != SLICE_AXIS or len(axis_names) < 2:
+        raise ValueError(
+            f"two-level mesh must be (slices, *ici_axes), got {axis_names}"
+        )
+    ici_axes = axis_names[1:]
+    ici_axis = ici_axes[0] if len(ici_axes) == 1 else ici_axes
+    ici_shape = tuple(mesh.shape[a] for a in ici_axes)
+    n_slices = mesh.shape[SLICE_AXIS]
+    n_ici = int(np.prod(ici_shape))
+    n_total = n_slices * n_ici
+    n = khi.shape[0]
+    if n % n_total:
+        raise ValueError(f"N={n} must divide mesh size {n_total}")
+    rows = n // n_total
+    n_lead = 1 + len(ici_axes)
+    n_local = 4 * rows
+    cap1 = max(1, int(np.ceil(n_local / n_ici * slack)))
+    cap2 = max(1, int(np.ceil(n_local / n_slices * slack)))
+    cap_e1 = max(1, int(np.ceil(2 * rows / n_ici * slack)))
+    cap_e2 = max(1, int(np.ceil(2 * rows / n_slices * slack)))
+
+    lead = (n_slices,) + ici_shape
+    zero = (0,) * n_lead
+
+    def body(khi_b, klo_b, valid_b):
+        return _links_join_body_2level_wide(
+            khi_b[zero], klo_b[zero], valid_b[zero],
+            k=k, n_slices=n_slices, n_ici=n_ici, ici_shape=ici_shape,
+            rows=rows,
+            cap1=cap1, cap2=cap2, cap_e1=cap_e1, cap_e2=cap_e2,
+            ici_axis=ici_axis, n_lead=n_lead,
+        )
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(*axis_names),) * 3,
+        out_specs=(P(*axis_names),) * 3,
+    )
+    next_o, next_l, overflow = fn(
+        khi.reshape(lead + (rows,)),
+        klo.reshape(lead + (rows,)),
+        valid.reshape(lead + (rows,)),
+    )
+    return (
+        next_o.reshape(2 * n),
+        next_l.reshape(2 * n),
+        overflow.reshape(n_total),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mesh", "slack"))
 def partitioned_unitig_links_join_two_level(
     khi: jnp.ndarray,

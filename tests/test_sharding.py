@@ -880,3 +880,83 @@ def test_two_level_links_join_equals_flat(mesh8, mesh3):
         np.asarray(want),
         np.asarray(dbg.build_unitig_links_join(hi, lo, valid, k=k)),
     )
+
+
+def test_two_level_wide_links_join_equals_flat_wide(mesh8):
+    """Wide (owner, local) links over the two-level router == the flat
+    wide join -- config 5's two structural requirements (>2**31 states,
+    multi-slice DCN pod) composed.  The home shard rides as an explicit
+    lane (the flat wide join's block-row recovery dies after two hops)."""
+    from genome_assembly_tpu.parallel import part_dbg, two_level
+
+    k = 17
+    rng = np.random.default_rng(41)
+    genome = "".join(rng.choice(list("ACGT"), size=900))
+    keys = sorted(
+        {
+            min(
+                encode.pack_str(genome[i : i + k]),
+                encode.pack_str(
+                    genome[i : i + k].translate(str.maketrans("ACGT", "TGCA"))[::-1]
+                ),
+            )
+            for i in range(len(genome) - k + 1)
+        }
+    )
+    pad = 1024
+    n_lo = min(k, 16)
+    hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros(pad, dtype=bool)
+    for i, v in enumerate(keys):
+        hi[i] = v >> (2 * n_lo)
+        lo[i] = v & ((1 << (2 * n_lo)) - 1)
+        valid[i] = True
+    hi, lo, valid = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid)
+
+    wo, wl, ovf0 = part_dbg.partitioned_unitig_links_join_wide(
+        hi, lo, valid, k=k, mesh=mesh8
+    )
+    assert int(np.sum(np.asarray(ovf0))) == 0
+    for mesh in (two_level.two_level_mesh(2), two_level.two_level_mesh3(2, 2, 2)):
+        go, gl, ovf = two_level.partitioned_unitig_links_join_two_level_wide(
+            hi, lo, valid, k=k, mesh=mesh
+        )
+        assert int(np.sum(np.asarray(ovf))) == 0
+        assert np.array_equal(np.asarray(go), np.asarray(wo))
+        assert np.array_equal(np.asarray(gl), np.asarray(wl))
+
+
+def test_two_level_links_overflow_detection():
+    """Tiny routing capacity must trip the two-level join's overflow
+    counters, never silently drop records."""
+    from genome_assembly_tpu.parallel import two_level
+
+    k = 11
+    rng = np.random.default_rng(5)
+    genome = "".join(rng.choice(list("ACGT"), size=700))
+    keys = sorted(
+        {
+            min(
+                encode.pack_str(genome[i : i + k]),
+                encode.pack_str(
+                    genome[i : i + k].translate(str.maketrans("ACGT", "TGCA"))[::-1]
+                ),
+            )
+            for i in range(len(genome) - k + 1)
+        }
+    )
+    pad = 1024
+    n_lo = min(k, 16)
+    hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros(pad, dtype=bool)
+    for i, v in enumerate(keys):
+        hi[i] = v >> (2 * n_lo)
+        lo[i] = v & ((1 << (2 * n_lo)) - 1)
+        valid[i] = True
+    _, ovf = two_level.partitioned_unitig_links_join_two_level(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid), k=k,
+        mesh=two_level.two_level_mesh(2), slack=0.02,
+    )
+    assert int(np.sum(np.asarray(ovf))) > 0
