@@ -318,7 +318,7 @@ class FastAssembler:
         return combined, rid_flat
 
     def unitigs_with_coverage(
-        self, reads: Sequence[str]
+        self, reads: Sequence[str], mesh=None
     ) -> Tuple[List[str], np.ndarray, np.ndarray, PhaseStats]:
         """Fast-mode unitigs plus per-unitig abundance coverage.
 
@@ -326,11 +326,15 @@ class FastAssembler:
         n_kmers[i] is unitig i's mean k-mer occurrence count -- the
         coverage signal the reference carries as per-BP read-id lists
         (binning.c:154-195, 857-888), which fast mode's payload-free count
-        previously discarded entirely (round-1 VERDICT gap #6).  In-core
-        path only (counts ride the compaction sort as one extra lane).
+        previously discarded entirely (round-1 VERDICT gap #6).  Counts
+        ride the compaction sort as one extra lane, in-core or over a
+        device mesh (``mesh=``: the distributed counts come back through
+        the same 3-lane device sort).
         """
         from genome_assembly_tpu.ops import dbg
 
+        if mesh is not None:
+            return self._unitigs_cov_sharded(reads, mesh)
         cfg = self.config
         stats = PhaseStats(n_reads=len(reads))
         combined, _ = self._flat_fast_records(reads, stats)
@@ -439,6 +443,48 @@ class FastAssembler:
         builders (kept only for differential tests).
         """
         from genome_assembly_tpu.ops import dbg
+
+        khi, klo, valid, _, graph, wide, stats = self._sharded_graph(
+            reads, mesh, with_counts=False
+        )
+        if wide:
+            # bounded-memory bucketed assembly: chains materialize per
+            # head-hash bucket (the single-host form of the pod-scale
+            # materialization shuffle); same output set as the plain
+            # materializer (differential-tested)
+            out = dbg.materialize_unitigs_partitioned(
+                np.asarray(khi), np.asarray(klo), np.asarray(valid),
+                graph, self.config.k,
+            )
+        else:
+            out = dbg.materialize_unitigs(
+                np.asarray(khi), np.asarray(klo), np.asarray(valid),
+                graph, self.config.k,
+            )
+        stats.entries_post_extension = len(out)
+        return out, stats
+
+    def _unitigs_cov_sharded(self, reads: Sequence[str], mesh):
+        """Distributed form of ``unitigs_with_coverage``: the counts ride
+        the kept-key compaction sort as one extra lane, exactly like the
+        in-core path, and the host cov materializer consumes them
+        unchanged (it is dtype-agnostic, so the wide pipeline's int64
+        graph works too)."""
+        from genome_assembly_tpu.ops import dbg
+
+        khi, klo, valid, counts, graph, _, stats = self._sharded_graph(
+            reads, mesh, with_counts=True
+        )
+        out, occ_sum, n_kmers = dbg.materialize_unitigs_cov(
+            np.asarray(khi), np.asarray(klo), np.asarray(valid), graph,
+            self.config.k, np.asarray(counts),
+        )
+        stats.entries_post_extension = len(out)
+        return out, occ_sum, n_kmers, stats
+
+    def _sharded_graph(self, reads: Sequence[str], mesh, *, with_counts):
+        """Shared distributed pipeline up to the compacted graph."""
+        from genome_assembly_tpu.ops import dbg
         from genome_assembly_tpu.parallel import part_dbg, shard_count, shard_dbg
 
         cfg = self.config
@@ -469,12 +515,17 @@ class FastAssembler:
         # device-side kept-key compaction: mask to sentinels + one global
         # 2-lane sort; only the kept COUNT is read back (a scalar), then
         # the sorted array is sliced on device to the padded node count
-        khi_c, klo_c = _sharded_kept_keys(sc)
+        if with_counts:
+            khi_c, klo_c, cnt_c = _sharded_kept_keys_counts(sc)
+        else:
+            khi_c, klo_c = _sharded_kept_keys(sc)
+            cnt_c = None
         n_kept = int(jnp.sum(sc.keep))
         stats.entries_post_prune = n_kept
         pad = n_shards * max(1, -(-max(n_kept, 1) // n_shards))
         khi = khi_c[:pad]
         klo = klo_c[:pad]
+        counts = cnt_c[:pad] if with_counts else None
         valid = khi != jnp.uint32(0xFFFFFFFF)
         n_states = 2 * pad
         wide = cfg.wide_state_ids is True or (
@@ -525,22 +576,7 @@ class FastAssembler:
             if ovf:
                 raise RuntimeError(f"link-join routing overflow ({ovf})")
             graph = shard_dbg.sharded_pointer_jump(links, mesh=mesh)
-        if wide:
-            # bounded-memory bucketed assembly: chains materialize per
-            # head-hash bucket (the single-host form of the pod-scale
-            # materialization shuffle); same output set as the plain
-            # materializer (differential-tested)
-            out = dbg.materialize_unitigs_partitioned(
-                np.asarray(khi), np.asarray(klo), np.asarray(valid),
-                graph, cfg.k,
-            )
-        else:
-            out = dbg.materialize_unitigs(
-                np.asarray(khi), np.asarray(klo), np.asarray(valid),
-                graph, cfg.k,
-            )
-        stats.entries_post_extension = len(out)
-        return out, stats
+        return khi, klo, valid, counts, graph, wide, stats
 
 
 @jax.jit
@@ -555,6 +591,17 @@ def _sharded_kept_keys(sc):
     hi = jnp.where(sc.keep, sc.kmer_hi, sentinel).reshape(-1)
     lo = jnp.where(sc.keep, sc.kmer_lo, sentinel).reshape(-1)
     return jax.lax.sort((hi, lo), num_keys=2)
+
+
+@jax.jit
+def _sharded_kept_keys_counts(sc):
+    """_sharded_kept_keys plus the per-key abundance count riding the
+    same device sort as a third lane (the distributed coverage channel)."""
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    hi = jnp.where(sc.keep, sc.kmer_hi, sentinel).reshape(-1)
+    lo = jnp.where(sc.keep, sc.kmer_lo, sentinel).reshape(-1)
+    cnt = jnp.where(sc.keep, sc.count, 0).reshape(-1).astype(jnp.uint32)
+    return jax.lax.sort((hi, lo, cnt), num_keys=2)
 
 
 @jax.jit

@@ -960,3 +960,25 @@ def test_two_level_links_overflow_detection():
         mesh=two_level.two_level_mesh(2), slack=0.02,
     )
     assert int(np.sum(np.asarray(ovf))) > 0
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_distributed_coverage_equals_single_device(mesh8, wide):
+    """unitigs_with_coverage(mesh=...) == the in-core coverage channel
+    exactly (strings, occurrence sums, and k-mer counts), for both id
+    widths -- the distributed counts ride the same 3-lane device sort."""
+    from genome_assembly_tpu.models.pipeline import FastAssembler
+
+    genome, reads, _ = datagen.generate_coverage_reads(
+        genome_len=600, read_len=48, coverage=9, seed=17, with_reverse=True
+    )
+    cfg = PipelineConfig(
+        k=11, m=5, parity=False, max_read_len=64, wide_state_ids=wide
+    )
+    su, so, sn, _ = FastAssembler(
+        PipelineConfig(k=11, m=5, parity=False, max_read_len=64)
+    ).unitigs_with_coverage(reads)
+    du, do, dn, _ = FastAssembler(cfg).unitigs_with_coverage(reads, mesh=mesh8)
+    want = sorted(zip(su, so.tolist(), sn.tolist()))
+    got = sorted(zip(du, do.tolist(), dn.tolist()))
+    assert got == want
