@@ -354,7 +354,7 @@ class FastAssembler:
         return out, occ_sum, n_kmers, stats
 
     def unitigs_with_read_ids(
-        self, reads: Sequence[str]
+        self, reads: Sequence[str], mesh=None
     ) -> Tuple[List[str], List[np.ndarray], PhaseStats]:
         """Fast-mode unitigs plus per-unitig supporting read ids.
 
@@ -364,9 +364,13 @@ class FastAssembler:
         per-BP read-id lists, as a per-unitig artifact.  Builds a CSR
         (offsets, values) over the kept k-mer table from a 3-lane
         (hi, lo, rid) sort, then merges member slices per unitig.
+        ``mesh=`` routes the counting over the device mesh (the grouped
+        per-shard record lanes become the same CSR host-side).
         """
         from genome_assembly_tpu.ops import dbg
 
+        if mesh is not None:
+            return self._unitigs_rids_sharded(reads, mesh)
         cfg = self.config
         stats = PhaseStats(n_reads=len(reads))
         combined, rid_flat = self._flat_fast_records(
@@ -392,12 +396,22 @@ class FastAssembler:
         khi = np.asarray(krc.kmer_hi)[starts]
         klo = np.asarray(krc.kmer_lo)[starts]
 
-        valid = jnp.ones(len(starts), dtype=bool)
+        return self._assemble_with_read_ids(khi, klo, offsets, values, stats)
+
+    def _assemble_with_read_ids(self, khi, klo, offsets, values, stats):
+        """Shared tail of the read-id channel: build the dBG over the kept
+        sorted keys, materialize, and merge each unitig's member CSR
+        slices into one sorted-distinct id array (single vectorized pass).
+        """
+        from genome_assembly_tpu.ops import dbg
+
+        cfg = self.config
+        valid = jnp.ones(len(khi), dtype=bool)
         links = dbg.build_unitig_links_join(
             jnp.asarray(khi), jnp.asarray(klo), valid, k=cfg.k
         )
         graph = dbg.pointer_jump(links)
-        out = dbg.materialize_unitigs(khi, klo, np.ones(len(starts), bool),
+        out = dbg.materialize_unitigs(khi, klo, np.ones(len(khi), bool),
                                       graph, cfg.k)
         u_off, u_rows = dbg.unitig_member_nodes(khi, klo, out, cfg.k)
         # one vectorized gather + dedup for ALL unitigs (the per-unitig
@@ -432,6 +446,73 @@ class FastAssembler:
         ]
         stats.entries_post_extension = len(out)
         return out, per_unitig, stats
+
+    def _unitigs_rids_sharded(self, reads: Sequence[str], mesh):
+        """Distributed form of the read-id channel.
+
+        The sharded count's [n_shards, cap] lanes already hold every
+        record grouped by key on its owner shard (keys are owned by
+        exactly one shard, so shard-major group concatenation is the
+        global grouping); the host flattens kept groups into the CSR,
+        lexsorts the kept keys into dBG order, and permutes the CSR
+        alongside.  Tail shared with the in-core path.
+        """
+        from genome_assembly_tpu.parallel import shard_count
+
+        cfg = self.config
+        stats = PhaseStats(n_reads=len(reads))
+        n_shards = int(np.prod(list(mesh.shape.values())))
+        (batch,) = reads_io.batch_reads(reads, cfg.max_read_len)
+        rows = ((batch.n + n_shards - 1) // n_shards) * n_shards
+        batch = reads_io.pad_batch(batch, rows)
+        sc = shard_count.sharded_count(
+            jnp.asarray(batch.codes),
+            jnp.asarray(batch.lengths),
+            jnp.asarray(batch.read_ids),
+            k=cfg.k,
+            m=cfg.m,
+            parity=False,
+            cutoff=cfg.abundance_cutoff,
+            mesh=mesh,
+            route_by="key",
+        )
+        overflow = int(np.sum(np.asarray(sc.overflow)))
+        if overflow:
+            raise RuntimeError(f"key routing overflow ({overflow})")
+        stats.n_windows = int(jnp.sum(sc.valid))
+        stats.entries_pre_prune = int(jnp.sum(sc.group_start & sc.valid))
+
+        keep2 = np.asarray(sc.keep)
+        cap = keep2.shape[1]
+        s_idx, g_idx = np.nonzero(keep2)
+        counts = np.asarray(sc.count)[s_idx, g_idx].astype(np.int64)
+        khi_g = np.asarray(sc.kmer_hi)[s_idx, g_idx]
+        klo_g = np.asarray(sc.kmer_lo)[s_idx, g_idx]
+        stats.entries_post_prune = len(s_idx)
+        offsets = np.zeros(len(s_idx) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        tot = int(offsets[-1])
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            offsets[:-1], counts
+        )
+        flat_base = s_idx.astype(np.int64) * cap + g_idx
+        values = np.asarray(sc.read_id).reshape(-1)[
+            np.repeat(flat_base, counts) + within
+        ]
+        # dBG order: lexsort the kept keys, permute the CSR alongside
+        order = np.lexsort((klo_g, khi_g))
+        khi_s, klo_s = khi_g[order], klo_g[order]
+        counts_s = counts[order]
+        off_s = np.zeros(len(order) + 1, dtype=np.int64)
+        np.cumsum(counts_s, out=off_s[1:])
+        pos = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(off_s[:-1], counts_s)
+            + np.repeat(offsets[:-1][order], counts_s)
+        )
+        return self._assemble_with_read_ids(
+            khi_s, klo_s, off_s, values[pos], stats
+        )
 
     def _unitigs_sharded(self, reads: Sequence[str], mesh):
         """Distributed counting + sharded dBG compaction over the mesh.

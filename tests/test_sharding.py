@@ -982,3 +982,19 @@ def test_distributed_coverage_equals_single_device(mesh8, wide):
     want = sorted(zip(su, so.tolist(), sn.tolist()))
     got = sorted(zip(du, do.tolist(), dn.tolist()))
     assert got == want
+
+
+def test_distributed_read_ids_equal_single_device(mesh8):
+    """unitigs_with_read_ids(mesh=...) == the in-core provenance channel:
+    same unitigs, same sorted-distinct supporting read ids per unitig."""
+    from genome_assembly_tpu.models.pipeline import FastAssembler
+
+    genome, reads, _ = datagen.generate_coverage_reads(
+        genome_len=500, read_len=40, coverage=8, seed=33, with_reverse=True
+    )
+    cfg = PipelineConfig(k=11, m=5, parity=False, max_read_len=64)
+    su, sids, _ = FastAssembler(cfg).unitigs_with_read_ids(reads)
+    du, dids, _ = FastAssembler(cfg).unitigs_with_read_ids(reads, mesh=mesh8)
+    want = sorted((u, tuple(i.tolist())) for u, i in zip(su, sids))
+    got = sorted((u, tuple(i.tolist())) for u, i in zip(du, dids))
+    assert got == want
