@@ -367,8 +367,6 @@ class FastAssembler:
         ``mesh=`` routes the counting over the device mesh (the grouped
         per-shard record lanes become the same CSR host-side).
         """
-        from genome_assembly_tpu.ops import dbg
-
         if mesh is not None:
             return self._unitigs_rids_sharded(reads, mesh)
         cfg = self.config
