@@ -31,6 +31,23 @@ timeout 10800 python tools/run_scale.py --preset chr1 --park-keys --park-links \
   > runs/chr1_r3e.jsonl 2> runs/chr1_r3e.err
 mark "chr1 rc=$?"
 
+n=$(ls ckpt/humanchr/part_*.npz 2>/dev/null | wc -l)
+if [ "$n" -lt 3 ]; then
+  mark "humanchr windows got $n parts in r3d (relay wedge); rerunning"
+  timeout 3300 python tools/run_scale.py --preset humanchr --count-only \
+    --park-keys --group-budget-gb 5 --checkpoint-dir ckpt/humanchr \
+    > runs/humanchr_frac1_r3e.jsonl 2> runs/humanchr_frac1_r3e.err
+  mark "humanchr window1 rc=$? (124 expected)"
+  n1=$(ls ckpt/humanchr/part_*.npz 2>/dev/null | wc -l)
+  mark "humanchr parts after window1: $n1"
+  timeout 3000 python tools/run_scale.py --preset humanchr --count-only \
+    --park-keys --group-budget-gb 5 --checkpoint-dir ckpt/humanchr \
+    > runs/humanchr_frac2_r3e.jsonl 2> runs/humanchr_frac2_r3e.err
+  mark "humanchr window2 rc=$? (124 expected)"
+  n2=$(ls ckpt/humanchr/part_*.npz 2>/dev/null | wc -l)
+  mark "humanchr parts after window2: $n2 (resume proof if > window1)"
+fi
+
 mark "final bench confirm"
 timeout 2400 python bench.py > runs/bench_r3e.json 2> runs/bench_r3e.err
 mark "bench rc=$?"
