@@ -997,6 +997,14 @@ def _reextract_partition_super(
     super-k-mer records: sweep the batches extracting only partition ``p``
     with a doubled cap, escalating until clean (cap >= batch_slots cannot
     overflow).  Returns the 6 concatenated record lanes.
+
+    Device memory is bounded at ONE batch's extraction, exactly like
+    _reextract_partition2: each batch's slice is compacted on device
+    (one 6-lane sort; SENTINEL rows sort last) and read back at its true
+    size into host accumulators, and the sweep breaks on the first
+    overflow before escalating -- a device-resident n_batches x cap
+    staging pattern RESOURCE_EXHAUSTED a 16 GB chip at chr1 scale
+    (see _reextract_partition3's docstring).
     """
     import logging
 
@@ -1008,18 +1016,29 @@ def _reextract_partition_super(
             "re-extracting alone at cap=%d", p, cap,
         )
         lanes_acc = [[] for _ in range(6)]
-        ovf_dev = jnp.zeros((1,), jnp.int32)
+        overflowed = False
         for b in range(n_batches):
             lanes = batch_super(b)
             out = extract_partition_range_super(
                 *lanes, jnp.uint32(p),
                 partitions=partitions, group_size=1, cap_bp=cap,
             )
+            del lanes
+            if bool(out[6][0]):
+                overflowed = True
+                break
+            sorted_lanes = lax.sort(
+                tuple(out[j][0] for j in range(6)), num_keys=1
+            )
+            n_real = int(jnp.sum(sorted_lanes[0] != SENTINEL))  # hard sync
+            del out
             for j in range(6):
-                lanes_acc[j].append(out[j][0])
-            ovf_dev = ovf_dev + out[6].astype(jnp.int32)
-        if cap >= batch_slots or int(ovf_dev[0]) == 0:
-            return tuple(jnp.concatenate(lanes_acc[j]) for j in range(6))
+                lanes_acc[j].append(np.asarray(sorted_lanes[j][:n_real]))
+            del sorted_lanes
+        if not overflowed or cap >= batch_slots:
+            return tuple(
+                jnp.asarray(np.concatenate(lanes_acc[j])) for j in range(6)
+            )
         lanes_acc = None  # free before the next escalation
 
 

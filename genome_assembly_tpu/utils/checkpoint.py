@@ -210,10 +210,15 @@ def load_count_shards(dirpath: str, *, n_shards: int, expect: dict):
     if manifest["format"] != SHARDED_FORMAT:
         raise ValueError(f"unsupported sharded checkpoint {manifest}")
     for key, val in expect.items():
-        if manifest.get(key) != val:
+        # route_by was added to the manifest after the first sharded
+        # checkpoints shipped; an ABSENT key means minimizer routing
+        # (the pre-key-routing default), so old mmer-routed manifests
+        # stay loadable -- mirrors the re-route default below.
+        have = manifest.get(key, "mmer" if key == "route_by" else None)
+        if have != val:
             raise ValueError(
                 f"checkpoint {d} was written by a different run: "
-                f"{key}={manifest.get(key)!r} != {val!r}"
+                f"{key}={have!r} != {val!r}"
             )
     saved_shards = manifest["n_shards"]
     parts = []

@@ -242,7 +242,6 @@ def main() -> int:
         return khi[:kept_cap], klo[:kept_cap], valid[:kept_cap], n_distinct, n_kept
 
     @jax.jit
-    @jax.jit
     def _graph_stats_jit(head, rank, is_cycle, valid):
         node_valid = jnp.repeat(valid, 2)
         ids = jnp.arange(head.shape[0], dtype=jnp.int32)
