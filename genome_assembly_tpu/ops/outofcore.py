@@ -648,13 +648,25 @@ def partitioned_count(
     pallas_sort: bool = False,
     checkpoint_dir: str | None = None,
     return_host: bool = False,
+    scan_chunk: int = 1,
 ) -> PartitionedCount:
     """Count n_batches record batches in ceil(P/G) re-scan passes.
 
     batch_keys(i) -> (hi, lo) flat uint32 key lanes for batch i (invalid =
     SENTINEL); called once per pass per batch, so it should be a cheap
     jitted regeneration (device read simulation, or a re-streamed file
-    read).  Each pass extracts a GROUP of G consecutive RANGE partitions
+    read).
+
+    scan_chunk > 1 fuses that many consecutive batches into ONE dispatch
+    (a lax.scan over the batch index inside a single jit).  The per-batch
+    compute here is ~40 ms (one record sort) but each dispatch through
+    the axon relay costs ~0.4 s wall, so chromosome-scale passes are
+    ~90% dispatch overhead (chr1: 6,867 batches/pass, SCALE.md section
+    5); fusing 16-32 batches amortizes it away.  Requires batch_keys to
+    be TRACEABLE with a traced batch index (a jitted device simulation
+    is; a host-side file reader is not -- keep scan_chunk=1 there).
+    Results are bit-identical either way: the same records land in the
+    same partitions in the same batch order.  Each pass extracts a GROUP of G consecutive RANGE partitions
     (extract_partition_range) -- G is a staging-memory decision:
 
       G = clamp(group_budget_bytes // (n_batches * cap_bp * 8), 1, 16)
@@ -759,6 +771,25 @@ def partitioned_count(
     n_kept = 0
     batch_overflows = 0
     G = group_size
+    scan_chunk = max(1, min(scan_chunk, n_batches))
+    if scan_chunk > 1:
+        # Defined ONCE (outside the group loop) so there are at most two
+        # compiles: the full chunk and the tail.  b0 and g are traced.
+        @functools.partial(jax.jit, static_argnames=("n_scan",))
+        def _fused_extract(b0, g, *, n_scan):
+            def body(carry, i):
+                hi, lo = batch_keys(b0 + i)
+                ghi, glo, ovf = extract_partition_range(
+                    hi, lo, g,
+                    partitions=partitions, group_size=G, cap_bp=cap_bp,
+                )
+                return carry, (ghi, glo, ovf.astype(jnp.int32))
+
+            _, (ghis, glos, ovfs) = lax.scan(
+                body, 0, jnp.arange(n_scan, dtype=jnp.int32)
+            )
+            return ghis, glos, jnp.sum(ovfs, axis=0)
+
     n_groups = (partitions + G - 1) // G
     for g in range(n_groups):
         group_parts = [
@@ -784,16 +815,30 @@ def partitioned_count(
         # accumulate overflow on device; ONE readback per group (a
         # per-batch int() would stall the relay dispatch pipeline)
         ovf_dev = jnp.zeros((G,), jnp.int32)
-        for b in range(n_batches):
-            hi, lo = batch_keys(b)
-            ghi, glo, ovf = extract_partition_range(
-                hi, lo, jnp.uint32(g),
-                partitions=partitions, group_size=G, cap_bp=cap_bp,
-            )
-            for r in range(G):
-                pieces_hi[r].append(ghi[r])
-                pieces_lo[r].append(glo[r])
-            ovf_dev = ovf_dev + ovf.astype(jnp.int32)
+        if scan_chunk > 1:
+            b = 0
+            while b < n_batches:
+                n_scan = min(scan_chunk, n_batches - b)
+                ghis, glos, ovf = _fused_extract(
+                    np.int32(b), np.uint32(g), n_scan=n_scan
+                )
+                for r in range(G):
+                    pieces_hi[r].append(ghis[:, r].reshape(-1))
+                    pieces_lo[r].append(glos[:, r].reshape(-1))
+                del ghis, glos  # free the stacked staging copy
+                ovf_dev = ovf_dev + ovf
+                b += n_scan
+        else:
+            for b in range(n_batches):
+                hi, lo = batch_keys(b)
+                ghi, glo, ovf = extract_partition_range(
+                    hi, lo, jnp.uint32(g),
+                    partitions=partitions, group_size=G, cap_bp=cap_bp,
+                )
+                for r in range(G):
+                    pieces_hi[r].append(ghi[r])
+                    pieces_lo[r].append(glo[r])
+                ovf_dev = ovf_dev + ovf.astype(jnp.int32)
         group_overflows = np.asarray(ovf_dev)
 
         def count_partition(p, cat_hi, cat_lo, pass_overflows):
@@ -1058,8 +1103,14 @@ def partitioned_count_super(
     expand_chunk: int = 1 << 20,
     checkpoint_dir: str | None = None,
     return_host: bool = False,
+    scan_chunk: int = 1,
 ) -> PartitionedCount:
     """Out-of-core counting over SUPER-K-MER records (ops/superkmer.py).
+
+    scan_chunk > 1 fuses that many batches per dispatch exactly like
+    partitioned_count (requires a traceable batch_super; results are
+    bit-identical) -- the relay-dispatch amortization matters even more
+    here because super passes stage 3-4x more partitions per re-scan.
 
     batch_super(i) -> the 6 flat record lanes of batch i
     (superkmer.super_records output).  Staging a record costs 24 B for
@@ -1154,6 +1205,23 @@ def partitioned_count_super(
     n_distinct = 0
     n_kept = 0
     batch_overflows = 0
+    scan_chunk = max(1, min(scan_chunk, n_batches))
+    if scan_chunk > 1:
+        @functools.partial(jax.jit, static_argnames=("n_scan",))
+        def _fused_extract_super(b0, g, *, n_scan):
+            def body(carry, i):
+                lanes = batch_super(b0 + i)
+                out = extract_partition_range_super(
+                    *lanes, g,
+                    partitions=partitions, group_size=G, cap_bp=cap_bp,
+                )
+                return carry, (out[:6], out[6].astype(jnp.int32))
+
+            _, (lanes_s, ovfs) = lax.scan(
+                body, 0, jnp.arange(n_scan, dtype=jnp.int32)
+            )
+            return lanes_s, jnp.sum(ovfs, axis=0)
+
     n_groups = (partitions + G - 1) // G
     for g in range(n_groups):
         group_parts = [p for p in range(g * G, min((g + 1) * G, partitions))]
@@ -1172,16 +1240,31 @@ def partitioned_count_super(
 
         pieces = [[[] for _ in range(6)] for _ in range(G)]
         ovf_dev = jnp.zeros((G,), jnp.int32)
-        for b in range(n_batches):
-            lanes = batch_super(b)
-            out = extract_partition_range_super(
-                *lanes, jnp.uint32(g),
-                partitions=partitions, group_size=G, cap_bp=cap_bp,
-            )
-            for r in range(G):
-                for j in range(6):
-                    pieces[r][j].append(out[j][r])
-            ovf_dev = ovf_dev + out[6].astype(jnp.int32)
+        if scan_chunk > 1:
+            b = 0
+            while b < n_batches:
+                n_scan = min(scan_chunk, n_batches - b)
+                lanes_s, ovf = _fused_extract_super(
+                    np.int32(b), np.uint32(g), n_scan=n_scan
+                )
+                for r in range(G):
+                    for j in range(6):
+                        # lanes_s[j] is [n_scan, G, cap]
+                        pieces[r][j].append(lanes_s[j][:, r].reshape(-1))
+                del lanes_s
+                ovf_dev = ovf_dev + ovf
+                b += n_scan
+        else:
+            for b in range(n_batches):
+                lanes = batch_super(b)
+                out = extract_partition_range_super(
+                    *lanes, jnp.uint32(g),
+                    partitions=partitions, group_size=G, cap_bp=cap_bp,
+                )
+                for r in range(G):
+                    for j in range(6):
+                        pieces[r][j].append(out[j][r])
+                ovf_dev = ovf_dev + out[6].astype(jnp.int32)
         group_overflows = np.asarray(ovf_dev)
 
         def count_super_partition(p, cat, pass_overflows):

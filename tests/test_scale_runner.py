@@ -53,3 +53,21 @@ def test_small_preset_in_core_vs_out_of_core():
     assert (
         a["extension"]["longest_chain"] == b["extension"]["longest_chain"]
     )
+
+
+@pytest.mark.slow
+def test_small_preset_virtual_genome_matches_across_layouts():
+    """--virtual-genome derives reads from (seed, position) with the
+    counter hash (ops/vgenome.py): no genome materialization.  The
+    dataset differs from the materialized-genome one (different PRNG),
+    but all pipeline invariants must hold and the in-core and
+    out-of-core+scan-chunk layouts must agree exactly on it."""
+    a = _run("--partitions", "1", "--virtual-genome")
+    b = _run("--partitions", "4", "--virtual-genome", "--scan-chunk", "3")
+    ca, cb = _count_event(a), _count_event(b)
+    assert ca["distinct"] == cb["distinct"] > 190000
+    assert ca["kept"] == cb["kept"]
+    assert (
+        a["extension"]["linear_unitigs"] == b["extension"]["linear_unitigs"]
+    )
+    assert a["genome"].get("virtual") is True

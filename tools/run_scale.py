@@ -142,6 +142,27 @@ def main() -> int:
         help="directory for resumable out-of-core count partition "
         "checkpoints (killed runs resume at the last finished pass)",
     )
+    ap.add_argument(
+        "--virtual-genome",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="derive read bases directly from (seed, position) with a "
+        "counter hash (ops/vgenome.py) instead of materializing the "
+        "genome on device -- no regeneration cost on resume windows and "
+        "no genome HBM residency.  Default: on at >= 1 Gbp, off below "
+        "(so smaller presets' banked artifacts stay dataset-comparable)",
+    )
+    ap.add_argument(
+        "--scan-chunk",
+        type=int,
+        default=0,
+        help="batches fused per dispatch in the out-of-core re-scan "
+        "passes (lax.scan inside one jit; outofcore scan_chunk).  The "
+        "relay costs ~0.4 s/dispatch against ~40 ms of per-batch "
+        "compute, so chromosome-scale passes are ~90%% dispatch "
+        "overhead without fusion.  0 = auto (16 out-of-core, 1 "
+        "in-core); 1 = the round-3 per-batch dispatch behavior",
+    )
     args = ap.parse_args()
     cfg = PRESETS[args.preset]
 
@@ -201,24 +222,44 @@ def main() -> int:
         nxt = flat[ROW : ROW + n_rows * ROW].reshape(n_rows, ROW)
         return jnp.concatenate([main, nxt[:, :read_len]], axis=1)
 
+    # --virtual-genome: derive read bases directly from (seed, position)
+    # with the counter hash (ops/vgenome.py) -- no genome materialization
+    # (1,570 s cold per humanchr resume window), no 3 GB residency, no
+    # per-batch row gather.  Default on at 3 Gbp where all three costs
+    # burned the round-3 fraction windows; the smaller presets keep the
+    # materialized genome so their banked artifacts stay comparable.
+    use_virtual = args.virtual_genome
+    if use_virtual is None:
+        use_virtual = cfg["genome_len"] >= 1_000_000_000
+    if use_virtual:
+        from genome_assembly_tpu.ops import vgenome
+
+    def sample_starts(kb):
+        if G - read_len < (1 << 31):
+            return jax.random.randint(
+                kb, (batch,), 0, G - read_len, dtype=jnp.int32
+            ).astype(jnp.uint32)
+        # randint's int32 maxval overflows at 3 Gbp: sample 32 uniform
+        # bits and reduce mod the range (bias < 2^-31 -- synthetic data)
+        return jax.random.bits(kb, (batch,), jnp.uint32) % jnp.uint32(
+            G - read_len
+        )
+
+    def batch_reads(genome, kb):
+        """[batch, read_len] base codes for one simulated read batch."""
+        starts = sample_starts(kb)
+        if use_virtual:
+            return vgenome.read_batch(args.seed, starts, read_len)
+        row = (starts // jnp.uint32(ROW)).astype(jnp.int32)
+        col = (starts % jnp.uint32(ROW)).astype(jnp.int32)
+        offs = jax.lax.broadcasted_iota(jnp.int32, (batch, read_len), 1)
+        return genome[row[:, None], col[:, None] + offs]
+
     @jax.jit
     def simulate_and_scan(genome, kr, batch_idx):
         """One batch: sample starts, gather reads, fast scan -> key lanes."""
         kb = jax.random.fold_in(kr, batch_idx)
-        if G - read_len < (1 << 31):
-            starts = jax.random.randint(
-                kb, (batch,), 0, G - read_len, dtype=jnp.int32
-            ).astype(jnp.uint32)
-        else:
-            # randint's int32 maxval overflows at 3 Gbp: sample 32 uniform
-            # bits and reduce mod the range (bias < 2^-31 -- synthetic data)
-            starts = jax.random.bits(kb, (batch,), jnp.uint32) % jnp.uint32(
-                G - read_len
-            )
-        row = (starts // jnp.uint32(ROW)).astype(jnp.int32)
-        col = (starts % jnp.uint32(ROW)).astype(jnp.int32)
-        offs = jax.lax.broadcasted_iota(jnp.int32, (batch, read_len), 1)
-        reads = genome[row[:, None], col[:, None] + offs]
+        reads = batch_reads(genome, kb)
         codes = jnp.zeros((batch, L), dtype=jnp.uint8).at[:, :read_len].set(reads)
         lengths = jnp.full((batch,), read_len, dtype=jnp.int32)
         recs = minimizer.fast_scan(codes, lengths, k=K, m=M)
@@ -269,9 +310,13 @@ def main() -> int:
             return -1, -1, -1
 
     t0 = time.perf_counter()
-    genome = make_genome(kg)
-    float(genome[0, 0])
-    emit("genome", wall_s=round(time.perf_counter() - t0, 3))
+    if use_virtual:
+        genome = None
+        emit("genome", wall_s=0.0, virtual=True)
+    else:
+        genome = make_genome(kg)
+        float(genome[0, 0])
+        emit("genome", wall_s=round(time.perf_counter() - t0, 3))
 
     partitions = args.partitions
     if partitions == 0:
@@ -293,6 +338,7 @@ def main() -> int:
         # out-of-core: re-scan per pass; scan+count are interleaved
         from genome_assembly_tpu.ops import outofcore
 
+        scan_chunk = args.scan_chunk if args.scan_chunk else 16
         t0 = time.perf_counter()
         if args.super_records:
             from genome_assembly_tpu.ops import superkmer
@@ -300,18 +346,7 @@ def main() -> int:
             @jax.jit
             def simulate_super(genome, kr, batch_idx):
                 kb = jax.random.fold_in(kr, batch_idx)
-                if G - read_len < (1 << 31):
-                    starts = jax.random.randint(
-                        kb, (batch,), 0, G - read_len, dtype=jnp.int32
-                    ).astype(jnp.uint32)
-                else:
-                    starts = jax.random.bits(
-                        kb, (batch,), jnp.uint32
-                    ) % jnp.uint32(G - read_len)
-                row = (starts // jnp.uint32(ROW)).astype(jnp.int32)
-                col = (starts % jnp.uint32(ROW)).astype(jnp.int32)
-                offs = jax.lax.broadcasted_iota(jnp.int32, (batch, read_len), 1)
-                reads = genome[row[:, None], col[:, None] + offs]
+                reads = batch_reads(genome, kb)
                 codes = jnp.zeros((batch, L), dtype=jnp.uint8)
                 codes = codes.at[:, :read_len].set(reads)
                 lengths = jnp.full((batch,), read_len, dtype=jnp.int32)
@@ -329,6 +364,7 @@ def main() -> int:
                 group_budget_bytes=int(args.group_budget_gb * (1 << 30)),
                 checkpoint_dir=args.checkpoint_dir or None,
                 return_host=args.park_keys,
+                scan_chunk=scan_chunk,
             )
         else:
             emit("outofcore", partitions=partitions)
@@ -342,6 +378,7 @@ def main() -> int:
                 pallas_sort=args.pallas_sort,
                 checkpoint_dir=args.checkpoint_dir or None,
                 return_host=args.park_keys,
+                scan_chunk=scan_chunk,
             )
         assert pc.batch_overflows == 0, "raise outofcore slack"
         assert not pc.kept_overflow, f"raise kept_cap (kept={pc.n_kept})"
