@@ -71,3 +71,28 @@ def test_small_preset_virtual_genome_matches_across_layouts():
         a["extension"]["linear_unitigs"] == b["extension"]["linear_unitigs"]
     )
     assert a["genome"].get("virtual") is True
+
+
+@pytest.mark.slow
+def test_small_preset_partitioned_ext_modes_match_bulk():
+    """--ext-mode part/wide (the distributed dBG on a one-device mesh)
+    produce exactly the bulk engine's graph stats -- the CPU rehearsal
+    of the on-chip wide-overhead measurement (VERDICT r3 item 4)."""
+    bulk = _run("--partitions", "1")
+    part = _run("--partitions", "1", "--ext-mode", "part")
+    wide = _run("--partitions", "1", "--ext-mode", "wide")
+    for ev in (part, wide):
+        assert ev["links"]["overflow"] == 0
+        assert ev["jump"]["overflow"] == 0
+        assert (
+            ev["extension"]["linear_unitigs"]
+            == bulk["extension"]["linear_unitigs"]
+        )
+        assert (
+            ev["extension"]["cyclic_states"]
+            == bulk["extension"]["cyclic_states"]
+        )
+        assert (
+            ev["extension"]["longest_chain"]
+            == bulk["extension"]["longest_chain"]
+        )

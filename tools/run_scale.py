@@ -143,6 +143,21 @@ def main() -> int:
         "checkpoints (killed runs resume at the last finished pass)",
     )
     ap.add_argument(
+        "--ext-mode",
+        choices=("bulk", "part", "wide"),
+        default="bulk",
+        help="extension engine: 'bulk' = the single-array sort-join + "
+        "pointer jump (default); 'part' / 'wide' = the distributed "
+        "partitioned dBG (parallel/part_dbg.py) on a ONE-device mesh -- "
+        "the physical-hardware rehearsal of the multi-chip extension "
+        "with int32 global ids ('part') or wide (shard,local) ids + "
+        "64-bit ranks ('wide').  On one shard the links join stages "
+        "every boundary record as self-exchange (its staging is the "
+        "whole record set, so this mode is memory-bound well below the "
+        "bulk engine's ceiling), while the jump's routed gathers stage "
+        "nothing (local requests bypass the queue)",
+    )
+    ap.add_argument(
         "--virtual-genome",
         action=argparse.BooleanOptionalAction,
         default=None,
@@ -484,7 +499,87 @@ def main() -> int:
         klo = np.asarray(klo)
         valid = np.asarray(valid)
 
+    def run_extension_partitioned(khi, klo, valid):
+        """--ext-mode part|wide: the distributed dBG on a 1-device mesh.
+
+        Measures the partitioned engines' real on-chip walls (the wide
+        pipeline's extra lane traffic and 64-bit rank carries were
+        previously priced only analytically by the extension model).
+        Jump slack is sized so the routed-gather queues are ~empty: on
+        one shard every request is local and bypasses the queue, so cap
+        can be O(1) without overflow (overflow counters still verify).
+        """
+        from jax.sharding import Mesh
+
+        from genome_assembly_tpu.parallel import part_dbg
+
+        mesh = Mesh(np.array(jax.devices()[:1]), (part_dbg.SHARD_AXIS,))
+        kh, kl, va = jnp.asarray(khi), jnp.asarray(klo), jnp.asarray(valid)
+        rows2 = 2 * int(kh.shape[0])
+        jump_slack = 2.0 / rows2  # cap=2 on one shard (all-local gathers)
+        t0l = time.perf_counter()
+        if args.ext_mode == "wide":
+            no, nl, lovf = part_dbg.partitioned_unitig_links_join_wide(
+                kh, kl, va, k=K, mesh=mesh, slack=1.0
+            )
+            lovf_n = int(np.sum(np.asarray(lovf)))  # hard sync
+            emit("links", wall_s=round(time.perf_counter() - t0l, 3),
+                 mode="wide", overflow=lovf_n)
+            assert lovf_n == 0, "raise link slack"
+            t0j = time.perf_counter()
+            wg, jovf = part_dbg.partitioned_pointer_jump_wide(
+                no, nl, mesh=mesh, slack=jump_slack
+            )
+            jovf_n = int(np.sum(np.asarray(jovf)))  # hard sync
+            emit("jump", wall_s=round(time.perf_counter() - t0j, 3),
+                 mode="wide", overflow=jovf_n)
+            assert jovf_n == 0, "raise jump slack"
+            # host int64 graph, exactly the models/pipeline.py conversion
+            # (one shard: owner == 0, so global id == local id)
+            no_np = np.asarray(no).astype(np.int64)
+            nl_np = np.asarray(nl).astype(np.int64)
+            rank64 = (np.asarray(wg.rank_hi).astype(np.int64) << 32) | (
+                np.asarray(wg.rank_lo).astype(np.int64)
+            )
+            graph = dbg.CompactedGraph(
+                next_state=np.where(no_np >= 0, no_np * rows2 + nl_np, -1),
+                head=(
+                    np.asarray(wg.head_owner).astype(np.int64) * rows2
+                    + np.asarray(wg.head_local).astype(np.int64)
+                ),
+                rank=rank64,
+                is_cycle=np.asarray(wg.is_cycle),
+            )
+            lin_heads, n_cyc_states, max_rank = graph_stats(
+                jnp.asarray(graph.head.astype(np.int32)),
+                jnp.asarray(graph.rank.astype(np.int32)),
+                jnp.asarray(graph.is_cycle),
+                va,
+            )
+        else:
+            links, lovf = part_dbg.partitioned_unitig_links_join(
+                kh, kl, va, k=K, mesh=mesh, slack=1.0
+            )
+            lovf_n = int(np.sum(np.asarray(lovf)))  # hard sync
+            emit("links", wall_s=round(time.perf_counter() - t0l, 3),
+                 mode="part", overflow=lovf_n)
+            assert lovf_n == 0, "raise link slack"
+            t0j = time.perf_counter()
+            graph, jovf = part_dbg.partitioned_pointer_jump(
+                links, mesh=mesh, slack=jump_slack
+            )
+            jovf_n = int(np.sum(np.asarray(jovf)))  # hard sync
+            emit("jump", wall_s=round(time.perf_counter() - t0j, 3),
+                 mode="part", overflow=jovf_n)
+            assert jovf_n == 0, "raise jump slack"
+            lin_heads, n_cyc_states, max_rank = graph_stats(
+                graph.head, graph.rank, graph.is_cycle, va
+            )
+        return khi, klo, valid, graph, lin_heads, n_cyc_states, max_rank
+
     def run_extension(khi, klo, valid):
+        if args.ext_mode != "bulk":
+            return run_extension_partitioned(khi, klo, valid)
         parts = link_partitions
         if args.park_keys or args.park_links:
             parts = max(parts, 2)
@@ -599,7 +694,7 @@ def main() -> int:
     )
     if args.materialize:
         t0 = time.perf_counter()
-        if use_cpu_ext:
+        if use_cpu_ext or args.ext_mode == "wide":
             # graph lives on the CPU backend; keep everything host-side
             unitigs = dbg.materialize_unitigs(
                 np.asarray(khi), np.asarray(klo), np.asarray(valid), graph, K
