@@ -29,6 +29,13 @@ PRESETS = {
                   kept_cap=1 << 23),
     "celegans": dict(genome_len=100_000_000, coverage=30, read_len=100,
                      batch=131072, kept_cap=1 << 27),
+    # largest scale whose --ext-mode part/wide one-device self-exchange
+    # fits the 16 GB chip: the links join stages ALL 4N boundary records
+    # (3-4 uint32 lanes) plus a same-size exchange copy and a 4-lane sort,
+    # ~7 GB peak at 64M states.  celegans (200M states) needs ~13 GB for
+    # the sort alone -- the partitioned engine's memory is WHY it shards.
+    "mid": dict(genome_len=32_000_000, coverage=30, read_len=100,
+                batch=131072, kept_cap=1 << 26),
     # human chromosome 1 scale (248.9 Mbp), 30x -- the largest configuration
     # whose pointer-jump tables (2 x 500M states x 2 lanes x 4 B = 8 GB)
     # still fit a single 16 GB chip; links and keys are host-parked
