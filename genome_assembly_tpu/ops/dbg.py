@@ -587,8 +587,20 @@ def build_unitig_links_parked(
     group_size: int | None = None,
     group_budget_bytes: int = 5 << 30,
     park_links: bool = False,
+    on_event=None,
 ):
     """build_unitig_links_ooc with the big residents parked in host RAM.
+
+    ``on_event(kind, **fields)`` (optional) reports phase progress so
+    chromosome-scale runs can see where the link wall goes (the phase is
+    relay-dispatch-bound; comm_model.parked_links_model budgets it):
+
+    - ``("link_pass", g=, chunks=, wall_s=)`` after each group's chunk
+      sweep (wall is hard-synced by the overflow readback);
+    - ``("link_partition", p=, wall_s=, n_edges=)`` after each
+      partition's sort-join (synced via the edge-count readback when
+      park_links; dispatch-only otherwise, n_edges=-1);
+    - ``("link_reextract", p=)`` when a staging cap escalates.
 
     The plain out-of-core builder keeps the full key array AND the 2N link
     array device-resident (ops/dbg.py build_unitig_links_ooc) -- ~12 GB at
@@ -612,6 +624,8 @@ def build_unitig_links_parked(
     keys + GROUP staging + one partition's sort (+ the 2N link array only
     when not park_links).
     """
+    import time as _time
+
     from genome_assembly_tpu.ops import outofcore
 
     if k % 2 == 0:
@@ -660,9 +674,11 @@ def build_unitig_links_parked(
     else:
         next_state = jnp.full(2 * n_padded, -1, dtype=jnp.int32)
 
-    def emit_partition(cat_hi, cat_lo, cat_pay):
+    def emit_partition(p, cat_hi, cat_lo, cat_pay):
         nonlocal next_state
+        t0 = _time.perf_counter()
         src, dst = _partition_edges(cat_hi, cat_lo, cat_pay)
+        ne = -1
         if park_links:
             src_c, dst_c, n_edges = _compact_edges(src, dst)
             del src, dst
@@ -674,10 +690,16 @@ def build_unitig_links_parked(
         else:
             next_state = _scatter_edges(next_state, src, dst)
             del src, dst
+        if on_event is not None:
+            on_event(
+                "link_partition", p=p,
+                wall_s=round(_time.perf_counter() - t0, 3), n_edges=ne,
+            )
 
     ovf_total = 0
     n_groups = (partitions + G - 1) // G
     for g in range(n_groups):
+        t_sweep = _time.perf_counter()
         pieces = [([], [], []) for _ in range(G)]
         ovf_dev = jnp.zeros((G,), jnp.int32)
         for c in range(n_chunks):
@@ -692,6 +714,11 @@ def build_unitig_links_parked(
                 pieces[r][2].append(gpay[r])
             ovf_dev = ovf_dev + ovf.astype(jnp.int32)
         ovf_host = np.asarray(ovf_dev)
+        if on_event is not None:
+            on_event(
+                "link_pass", g=g, chunks=n_chunks,
+                wall_s=round(_time.perf_counter() - t_sweep, 3),
+            )
 
         overflowed = []
         for r in range(G):
@@ -712,15 +739,17 @@ def build_unitig_links_parked(
             cat_lo = jnp.concatenate(pieces[r][1])
             cat_pay = jnp.concatenate(pieces[r][2])
             pieces[r] = None  # free staging before the partition sort
-            emit_partition(cat_hi, cat_lo, cat_pay)
+            emit_partition(p, cat_hi, cat_lo, cat_pay)
             del cat_hi, cat_lo, cat_pay
         for p in overflowed:
+            if on_event is not None:
+                on_event("link_reextract", p=p)
             cat_hi, cat_lo, cat_pay = _reextract_partition3(
                 chunk_records, n_chunks, p,
                 partitions=partitions, cap0=cap_bp,
                 rec_per_chunk=rec_per_chunk,
             )
-            emit_partition(cat_hi, cat_lo, cat_pay)
+            emit_partition(p, cat_hi, cat_lo, cat_pay)
             del cat_hi, cat_lo, cat_pay
     if park_links:
         return next_host[: 2 * n], ovf_total

@@ -259,3 +259,55 @@ def test_extension_phase_model_bounds(batch):
         assert out["t_serial_s"] >= out["t_overlap_s"] > 0
     assert wide["t_serial_s"] >= narrow["t_serial_s"]
     assert wide["requests_total"] == narrow["requests_total"]
+
+
+def test_parked_links_model_pins_builder_pass_structure(batch):
+    """parked_links_model's pass arithmetic (G, pass count, chunks per
+    sweep, partitions) is EXACTLY what build_unitig_links_parked
+    performs -- pinned through the builder's on_event stream, so a
+    group-plan change that shifts the real pass structure breaks this
+    test before it silently invalidates SCALE.md's link budget."""
+    codes, lengths = batch
+    recs = minimizer.fast_scan(
+        jnp.asarray(codes), jnp.asarray(lengths), k=K, m=M
+    )
+    kc = count_ops.count_keys(recs, cutoff=0)
+    khi, klo, valid = count_ops.kept_keys_sorted(kc)
+    from genome_assembly_tpu.ops import dbg
+
+    want = np.asarray(dbg.build_unitig_links_join(khi, klo, valid, k=K))
+
+    partitions, chunk_nodes = 5, 1 << 10
+    budget = 64 << 10
+    events = []
+    links, ovf = dbg.build_unitig_links_parked(
+        np.asarray(khi), np.asarray(klo), np.asarray(valid), k=K,
+        partitions=partitions, chunk_nodes=chunk_nodes,
+        group_budget_bytes=budget, park_links=True,
+        on_event=lambda kind, **kw: events.append((kind, kw)),
+    )
+    assert ovf == 0
+    np.testing.assert_array_equal(np.asarray(links), want)
+
+    model = comm_model.parked_links_model(
+        int(khi.shape[0]), partitions=partitions, chunk_nodes=chunk_nodes,
+        group_budget_bytes=budget,
+    )
+    passes = [kw for kind, kw in events if kind == "link_pass"]
+    parts = [kw for kind, kw in events if kind == "link_partition"]
+    assert len(passes) == model["n_passes"]
+    assert all(p["chunks"] == model["n_chunks"] for p in passes)
+    assert len(parts) == partitions
+    assert all(p["n_edges"] >= 0 for p in parts)
+    # predicted walls are positive and dominated by the relay terms at
+    # the default HostLink rates
+    assert model["t_total_s"] > 0
+    pcie = comm_model.parked_links_model(
+        int(khi.shape[0]), partitions=partitions, chunk_nodes=chunk_nodes,
+        group_budget_bytes=budget,
+        link=comm_model.HostLink(
+            dispatch_s=1e-3, upload_bytes_per_s=10e9,
+            readback_bytes_per_s=10e9,
+        ),
+    )
+    assert pcie["t_total_s"] < model["t_total_s"]

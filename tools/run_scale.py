@@ -596,10 +596,21 @@ def main() -> int:
             kh = np.asarray(khi) if args.park_keys else khi
             kl = np.asarray(klo) if args.park_keys else klo
             va = np.asarray(valid) if args.park_keys else valid
+            from genome_assembly_tpu.parallel import comm_model
+
+            emit("links_budget", **{
+                k2: round(v, 3) if isinstance(v, float) else v
+                for k2, v in comm_model.parked_links_model(
+                    int(kh.shape[0]), partitions=parts,
+                    chunk_nodes=args.link_chunk,
+                    park_keys=args.park_keys, park_links=args.park_links,
+                ).items()
+            })
             links, link_ovf = dbg.build_unitig_links_parked(
                 kh, kl, va, k=K,
                 partitions=parts, chunk_nodes=args.link_chunk,
                 park_links=args.park_links,
+                on_event=lambda kind, **kw: emit(kind, **kw),
             )
             assert link_ovf == 0, "raise link slack"
             if args.park_keys:
