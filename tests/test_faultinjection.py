@@ -281,3 +281,98 @@ def test_multihost_sharded_checkpoint_kill_and_resume(tmp_path):
     digest = hashlib.sha256(json.dumps(canon).encode()).hexdigest()
     assert got["entries"] == len(table)
     assert got["digest"] == digest
+
+
+@pytest.mark.slow
+def test_four_process_nonzero_rank_sigkill_resume(tmp_path):
+    """VERDICT r3 item 6: a 4-process gloo run loses ONLY rank 2 to
+    SIGKILL (the other ranks die on the broken collective -- the
+    partial-failure shape of a real multi-host job); a fresh 4-process
+    launch on the same checkpoint dir resumes at the committed batch
+    and finishes with the uninterrupted run's exact result."""
+    import hashlib
+    import json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    tool = repo / "tools/run_multihost_ckpt.py"
+    ckpt = tmp_path / "ck4"
+    ckpt.mkdir()
+    out = tmp_path / "mh4.json"
+    nproc = 4
+
+    def free_port():
+        with socket.socket() as sock:
+            sock.bind(("127.0.0.1", 0))
+            return sock.getsockname()[1]
+
+    def launch(env_extra):
+        env = {
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "GA_TPU_MH_PORT": str(free_port()),
+            "GA_TPU_MH_DEVS": "2",
+            **env_extra,
+        }
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, str(tool), str(pid), str(nproc),
+                 str(out if pid == 0 else "/dev/null"), str(ckpt)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for pid in range(nproc)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                outs.append(p.communicate(timeout=300)[0].decode())
+            except subprocess.TimeoutExpired:
+                p.kill()  # exact child PID: survivors hang on the dead
+                outs.append(p.communicate()[0].decode())  # peer's collective
+        return procs, outs
+
+    # run 1: ONLY rank 2 SIGKILLs itself after committing batch 1
+    procs, logs = launch({
+        "GA_TPU_DIE_AFTER_BATCH": "1", "GA_TPU_DIE_RANK": "2",
+    })
+    assert procs[2].returncode != 0, logs[2][-2000:]
+    assert all(p.returncode != 0 for p in procs), [
+        p.returncode for p in procs
+    ]
+    manifest = json.loads((ckpt / "manifest.json").read_text())
+    assert manifest["batches_done"] >= 1
+    assert manifest["n_shards"] == 8
+
+    # run 2: fresh 4-process launch, same checkpoint dir
+    procs, logs = launch({})
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-2000:]
+    got = json.loads(out.read_text())
+    assert got["resumed_from"] >= 1
+    assert got["overflow"] == 0
+
+    # reference: same data counted in-process on this process's 8 devices
+    import jax
+    import numpy as np
+
+    from genome_assembly_tpu.io import datagen, reads as reads_io
+    from genome_assembly_tpu.parallel import mesh as mesh_lib, shard_count
+
+    assert jax.device_count() >= 8
+    mesh = mesh_lib.make_mesh(8)
+    _, reads, _ = datagen.generate_coverage_reads(
+        genome_len=900, read_len=48, coverage=6, seed=33, with_reverse=True
+    )
+    batches = [
+        reads_io.pad_batch(b, 24) for b in reads_io.batch_reads(reads, 64, 24)
+    ]
+    sc = shard_count.sharded_count_batches(
+        batches, k=11, m=5, parity=False, cutoff=1, mesh=mesh
+    )
+    table = shard_count.sharded_to_host_dict(sc, 11, 5)
+    canon = sorted((mm, kk, len(v)) for (mm, kk), v in table.items())
+    digest = hashlib.sha256(json.dumps(canon).encode()).hexdigest()
+    assert got["entries"] == len(table)
+    assert got["digest"] == digest

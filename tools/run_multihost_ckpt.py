@@ -10,6 +10,12 @@ same checkpoint dir resumes at batch n instead of batch 0.
 
   python tools/run_multihost_ckpt.py <pid> <nproc> <out.json> <ckpt_dir>
 
+GA_TPU_DIE_RANK=<r> (default: every rank) restricts the self-SIGKILL to
+one rank, so a 4-process run can lose a NON-ZERO rank while the others
+die on the broken collective -- the partial-failure shape of a real
+multi-host job.  GA_TPU_MH_DEVS sets virtual devices per process
+(default 4).
+
 Process 0 writes a JSON summary: entry count, content digest, overflow,
 and resumed_from (the manifest's batches_done at startup) so the test can
 assert the resume actually skipped work.
@@ -31,8 +37,11 @@ def main() -> int:
     out_path = sys.argv[3]
     ckpt_dir = sys.argv[4]
     die_after = int(os.environ.get("GA_TPU_DIE_AFTER_BATCH", "-1"))
+    die_rank = int(os.environ.get("GA_TPU_DIE_RANK", str(pid)))
+    if die_rank != pid:
+        die_after = -1  # only the selected rank self-kills
     port = os.environ.get("GA_TPU_MH_PORT", "29582")
-    devices_per_proc = 4
+    devices_per_proc = int(os.environ.get("GA_TPU_MH_DEVS", "4"))
 
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
