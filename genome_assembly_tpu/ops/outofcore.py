@@ -409,6 +409,7 @@ def partitioned_count_parity(
     group_size: int | None = None,
     group_budget_bytes: int = 8 << 30,
     checkpoint_dir: str | None = None,
+    with_streams: bool = False,
 ):
     """Out-of-core PARITY counting: the payload-carrying analogue of
     :func:`partitioned_count`.
@@ -429,6 +430,13 @@ def partitioned_count_parity(
 
     checkpoint_dir: per-partition group checkpoints (part_<p>_parity.npz),
     resumable like the fast-mode count.
+
+    with_streams: also return each group's per-occurrence global stream
+    indices (aligned with read_ids) as a second element -- what the
+    non-ACGT exception path (parity/nonacgt.py) needs to re-key dirty
+    occurrences.  Checkpoints then persist the stream lane too; a resume
+    from partitions saved WITHOUT streams recounts just those partitions
+    (and the reverse resume works unchanged, extra lane ignored).
     """
     from genome_assembly_tpu.parity import table as table_ops
 
@@ -474,6 +482,7 @@ def partitioned_count_parity(
 
     g_mmer, g_hi, g_lo, g_count, g_first = [], [], [], [], []
     g_ids: list = []
+    g_streams: list = []
     n_windows = 0
     batch_overflows = 0
     n_groups = (partitions + G - 1) // G
@@ -481,33 +490,43 @@ def partitioned_count_parity(
     def part_path(p):
         return ckpt / f"part_{p}_parity.npz" if ckpt is not None else None
 
+    def part_usable(p):
+        """Saved AND carrying every lane this call needs."""
+        path = part_path(p)
+        if path is None or not path.exists():
+            return False
+        if not with_streams:
+            return True
+        with np.load(path) as saved:
+            return "flat_streams" in saved.files
+
     def load_part(p):
         saved = np.load(part_path(p))
+        streams = saved["flat_streams"] if with_streams else None
         return (
             saved["mmer"], saved["khi"], saved["klo"], saved["count"],
-            saved["first"], saved["flat_ids"], int(saved["overflows"]),
+            saved["first"], saved["flat_ids"], streams,
+            int(saved["overflows"]),
         )
 
-    def accumulate(mm, hi, lo, cnt, first, flat_ids):
+    def accumulate(mm, hi, lo, cnt, first, flat_ids, flat_streams=None):
         g_mmer.append(mm)
         g_hi.append(hi)
         g_lo.append(lo)
         g_count.append(cnt)
         g_first.append(first)
         g_ids.append(flat_ids)
+        g_streams.append(flat_streams)
 
     for g in range(n_groups):
         group_parts = [
             p for p in range(g * G, min((g + 1) * G, partitions))
         ]
-        missing = [
-            p for p in group_parts
-            if ckpt is None or not part_path(p).exists()
-        ]
+        missing = [p for p in group_parts if not part_usable(p)]
         if not missing:
             for p in group_parts:
-                mm, hi, lo, cnt, first, flat, bo = load_part(p)
-                accumulate(mm, hi, lo, cnt, first, flat)
+                mm, hi, lo, cnt, first, flat, strm, bo = load_part(p)
+                accumulate(mm, hi, lo, cnt, first, flat, strm)
                 batch_overflows += bo
             if g == 0 and ckpt is not None:
                 # the window count was taken during group 0's live pass
@@ -544,9 +563,9 @@ def partitioned_count_parity(
             p = g * G + r
             if p >= partitions:
                 continue
-            if ckpt is not None and part_path(p).exists():
-                mm, hi, lo, cnt, first, flat, bo = load_part(p)
-                accumulate(mm, hi, lo, cnt, first, flat)
+            if part_usable(p):
+                mm, hi, lo, cnt, first, flat, strm, bo = load_part(p)
+                accumulate(mm, hi, lo, cnt, first, flat, strm)
                 batch_overflows += bo
                 continue
             pass_overflows = int(group_overflows[r])
@@ -573,17 +592,29 @@ def partitioned_count_parity(
             flat = np.empty(off[-1], dtype=np.uint32)
             for i, (s, c) in enumerate(zip(starts, sizes)):
                 flat[off[i] : off[i + 1]] = rid_h[s : s + c]
+            flat_strm = None
+            if with_streams:
+                # the stream lane rides the same stable sort as read ids,
+                # so the identical slicing yields per-occurrence streams
+                flat_strm = np.empty(off[-1], dtype=np.uint32)
+                for i, (s, c) in enumerate(zip(starts, sizes)):
+                    flat_strm[off[i] : off[i + 1]] = str_h[s : s + c]
             accumulate(
                 mmer_h[starts], khi_h[starts], klo_h[starts],
                 cnt_h[starts].astype(np.int32), str_h[starts], flat,
+                flat_strm,
             )
             if ckpt is not None:
                 tmp = ckpt / f"part_{p}_parity.tmp.npz"
+                extra = (
+                    {"flat_streams": flat_strm} if with_streams else {}
+                )
                 np.savez_compressed(
                     tmp,
                     mmer=g_mmer[-1], khi=g_hi[-1], klo=g_lo[-1],
                     count=g_count[-1], first=g_first[-1], flat_ids=flat,
                     overflows=np.int64(pass_overflows),
+                    **extra,
                 )
                 tmp.rename(part_path(p))
 
@@ -611,6 +642,16 @@ def partitioned_count_parity(
         first_seen=first_all[order],
         read_ids=read_ids,
     )
+    if with_streams:
+        flat_strm_all = (
+            np.concatenate(g_streams)
+            if g_streams else np.zeros(0, np.uint32)
+        )
+        streams = [
+            flat_strm_all[off_all[i] : off_all[i + 1]].astype(np.uint32)
+            for i in order
+        ]
+        return host, streams, n_windows, batch_overflows
     return host, n_windows, batch_overflows
 
 

@@ -131,3 +131,133 @@ def test_dirty_detection():
     assert not nonacgt.has_non_acgt(["ACGT", ""])
     assert nonacgt.has_non_acgt(["ACGN"])
     assert nonacgt.has_non_acgt(["acgt"])  # lowercase is unknown to getval
+
+
+def _ooc_cfg(batch=64, budget=30_000):
+    # 80 dirty reads / batch 64 -> 2 batches, 3456 slots * 20 B > budget:
+    # forces the 5-lane partitioned out-of-core parity count
+    return PipelineConfig(
+        k=6, m=3, max_read_len=32, batch_reads=batch,
+        outofcore_bytes=budget,
+    )
+
+
+def test_nonacgt_ooc_matches_incore():
+    """Dirty reads through the out-of-core 5-lane count (with_streams
+    regroup, VERDICT r3 item 7) == the in-core exception path, both
+    engines, both print formats."""
+    reads = _dirty_reads()
+    asm_ooc = ParityAssembler(_ooc_cfg())
+    assert asm_ooc._needs_outofcore(reads), "fixture no longer forces ooc"
+    asm_inc = ParityAssembler(_cfg())
+    for engine in ("python", "native"):
+        ooc_lines, _ = asm_ooc.assemble(reads, engine=engine)
+        inc_lines, _ = asm_inc.assemble(reads, engine=engine)
+        assert ooc_lines == inc_lines
+    ooc_v, _ = asm_ooc.assemble(reads, engine="native", verbose=True)
+    inc_v, _ = asm_inc.assemble(reads, engine="native", verbose=True)
+    assert ooc_v == inc_v
+    assert any(not frozenset("ACGT").issuperset(l) for l in ooc_v)
+
+
+def test_parity_ooc_streams_roundtrip(tmp_path):
+    """partitioned_count_parity(with_streams=True): streams align with
+    read_ids, and a resume from partitions saved WITHOUT the stream lane
+    recounts them instead of failing."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import outofcore
+
+    rng = np.random.default_rng(3)
+    n, batches = 96, 2
+    mm = [rng.integers(0, 5, n).astype(np.uint32) for _ in range(batches)]
+    hi = [rng.integers(0, 3, n).astype(np.uint32) for _ in range(batches)]
+    lo = [rng.integers(0, 7, n).astype(np.uint32) for _ in range(batches)]
+    rid = [rng.integers(0, 50, n).astype(np.uint32) for _ in range(batches)]
+    strm = [
+        (np.arange(n, dtype=np.uint32) + b * n) for b in range(batches)
+    ]
+
+    def recs(b):
+        return tuple(
+            jnp.asarray(a[b]) for a in (mm, hi, lo, rid, strm)
+        )
+
+    ck = str(tmp_path / "ck")
+    # pass 1: no streams, checkpointed
+    host0, nw0, ovf0 = outofcore.partitioned_count_parity(
+        recs, batches, partitions=4, cutoff=-1, checkpoint_dir=ck
+    )
+    assert ovf0 == 0
+    # pass 2: with streams, SAME dir -- stream-less partitions recount
+    host1, streams, nw1, ovf1 = outofcore.partitioned_count_parity(
+        recs, batches, partitions=4, cutoff=-1, checkpoint_dir=ck,
+        with_streams=True,
+    )
+    assert nw1 == nw0 and ovf1 == 0
+    np.testing.assert_array_equal(host1.mmer, host0.mmer)
+    np.testing.assert_array_equal(host1.first_seen, host0.first_seen)
+    stream_of = {}
+    for b in range(batches):
+        for j in range(n):
+            stream_of[(int(mm[b][j]), int(hi[b][j]), int(lo[b][j]),
+                       int(strm[b][j]))] = int(rid[b][j])
+    for g in range(len(host1.mmer)):
+        assert len(streams[g]) == len(host1.read_ids[g])
+        assert list(streams[g]) == sorted(streams[g])
+        assert int(streams[g][0]) == int(host1.first_seen[g])
+        for s, r in zip(streams[g], host1.read_ids[g]):
+            key = (int(host1.mmer[g]), int(host1.kmer_hi[g]),
+                   int(host1.kmer_lo[g]), int(s))
+            assert stream_of[key] == int(r)
+    # pass 3: resume again purely from the upgraded checkpoints
+    host2, streams2, _, _ = outofcore.partitioned_count_parity(
+        recs, batches, partitions=4, cutoff=-1, checkpoint_dir=ck,
+        with_streams=True,
+    )
+    for a, b2 in zip(streams, streams2):
+        np.testing.assert_array_equal(a, b2)
+
+
+@pytest.mark.oracle
+def test_nonacgt_truncation_ooc_live_oracle(tmp_path):
+    """All three quirk systems composed (VERDICT r3 item 7): non-ACGT
+    bytes + fgets truncation (>100-char lines) + the out-of-core 5-lane
+    parity count, byte-equal to the live reference binary on a fixture no
+    golden has seen."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    from tools import oracle
+
+    rng = np.random.default_rng(11)
+    lines = []
+    for i in range(30):
+        ln = "".join(rng.choice(list("ACGT"), size=150 if i % 3 else 230))
+        lines.append(ln)
+    # inject the quirk bytes: N, lowercase base, whole-lower chunk, stray
+    lines[0] = lines[0][:40] + "N" + lines[0][41:]
+    lines[1] = lines[1][:120] + "n" + lines[1][121:]  # in the 2nd chunk
+    lines[2] = lines[2][:30].lower() + lines[2][30:]
+    lines[3] = lines[3][:101] + "X" + lines[3][102:]  # chunk-boundary area
+    lines = lines + lines  # duplicate so dirty k-mers survive cutoff 1
+    reads_file = tmp_path / "dirty_long.txt"
+    reads_file.write_text("".join(l + "\n" for l in lines))
+
+    binary = oracle.build_oracle(pathlib.Path("/tmp/oracle_build"), k=6, m=3)
+    want = oracle.run_oracle(binary, reads_file, "unitigs").splitlines()
+
+    cfg = PipelineConfig(
+        k=6, m=3, max_read_len=128, batch_reads=64,
+        outofcore_bytes=200_000,
+    )
+    asm = ParityAssembler(cfg)
+    reads = asm.load(str(reads_file))
+    # the loader's fgets emulation really split lines (truncation quirk on)
+    assert len(reads) > len(lines)
+    assert asm._needs_outofcore(reads), "fixture no longer forces ooc"
+    got, _ = asm.assemble(reads, engine="native")
+    assert got == want
+    got_py, _ = asm.assemble(reads, engine="python")
+    assert got_py == want
