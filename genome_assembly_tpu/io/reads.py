@@ -148,6 +148,11 @@ def batch_reads(
             )
     if batch_size is None:
         batch_size = max(1, len(reads))
+    # getval-exact scoring matters for dirty reads: lowercase c/g/t map to
+    # their real codes in the lenient table but score 3 ('A') in the
+    # reference, and one wrong score corrupts the stale-signature choice
+    # for every later window of the read (binning.c:91-111)
+    enc = encode.encode_str_parity if parity_chars else encode.encode_str
     batches = []
     for ofs in range(0, max(len(reads), 1), batch_size):
         chunk = reads[ofs : ofs + batch_size]
@@ -159,7 +164,7 @@ def batch_reads(
         for i, r in enumerate(chunk):
             lengths[i] = len(r)
             if r:
-                codes[i, : len(r)] = encode.encode_str(r)
+                codes[i, : len(r)] = enc(r)
         batches.append(ReadBatch(codes, lengths, ids[ofs : ofs + n]))
     return batches
 

@@ -756,7 +756,9 @@ class ParityAssembler:
 
         cfg = self.config
         stats = PhaseStats(n_reads=len(reads))
-        batches = reads_io.batch_reads(reads, cfg.max_read_len, cfg.batch_reads)
+        batches = reads_io.batch_reads(
+            reads, cfg.max_read_len, cfg.batch_reads, parity_chars=True
+        )
         if not batches:
             raise ValueError("no reads")
         if len(batches) > 1:
@@ -996,7 +998,9 @@ class ParityAssembler:
             n_shards,
             ((cfg.batch_reads + n_shards - 1) // n_shards) * n_shards,
         )
-        batches = reads_io.batch_reads(reads, cfg.max_read_len, rows)
+        batches = reads_io.batch_reads(
+            reads, cfg.max_read_len, rows, parity_chars=cfg.parity
+        )
         batches = [reads_io.pad_batch(b, rows) for b in batches]
         sc = shard_count.sharded_count_batches(
             batches,

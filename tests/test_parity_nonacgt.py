@@ -261,3 +261,33 @@ def test_nonacgt_truncation_ooc_live_oracle(tmp_path):
     assert got == want
     got_py, _ = asm.assemble(reads, engine="python")
     assert got_py == want
+
+
+def test_lowercase_run_stale_signature_scoring():
+    """Lowercase c/g/t must score 3 ('A') on device exactly as the
+    reference getval does (binning.c:91-111).  The lenient fast-mode
+    table regressed this: one wrongly-scored base corrupts the stale
+    signature of LATER clean windows in the same read, splitting their
+    occurrences away from the clean reads' device group and duplicating
+    table entries the reference merges.  This fixture (coverage overlap
+    + 8-base lowercase runs) is wrong under the lenient table."""
+    rng = np.random.default_rng(1)
+    genome = "".join(rng.choice(list("ACGT"), size=300))
+    reads = []
+    for _ in range(60):
+        p = int(rng.integers(0, len(genome) - 50))
+        reads.append(genome[p : p + 50])
+    for j in range(0, 60, 7):
+        r = reads[j]
+        pos = int(rng.integers(0, 30))
+        reads[j] = r[:pos] + r[pos : pos + 8].lower() + r[pos + 8 :]
+
+    cfg = PipelineConfig(k=21, m=4, max_read_len=64, batch_reads=64)
+    asm = ParityAssembler(cfg)
+    groups = asm.pruned_table_groups(reads)
+    got = sorted((s, km, tuple(ids)) for s, km, ids in groups)
+    want = model.count_table(model.scan_reads(reads, 21, 4), 1)
+    spec = sorted(
+        (s, km, tuple(reversed(v))) for (s, km), v in want.items()
+    )
+    assert got == spec
