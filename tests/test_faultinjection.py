@@ -376,3 +376,36 @@ def test_four_process_nonzero_rank_sigkill_resume(tmp_path):
     digest = hashlib.sha256(json.dumps(canon).encode()).hexdigest()
     assert got["entries"] == len(table)
     assert got["digest"] == digest
+
+
+@pytest.mark.slow
+def test_elastic_shrink_world_resume(tmp_path):
+    """Live elasticity (beyond same-size resume): a 4-process world loses
+    rank 2 mid-run; the supervisor (tools/run_elastic.py) detects the
+    death, reaps the survivors hung on the broken collective, and
+    relaunches a 3-process world on the same checkpoint dir.  The sharded
+    checkpoints re-route onto the smaller mesh (12 shards vs 16), resume
+    at the committed batch, and the final table digest equals an
+    uninterrupted 4-process run's exactly."""
+    sys.path.insert(0, str(REPO))
+    from tools import run_elastic
+
+    ck_a = tmp_path / "ck_elastic"
+    ck_b = tmp_path / "ck_base"
+    ck_a.mkdir(), ck_b.mkdir()
+
+    got = run_elastic.supervise(
+        4, str(tmp_path / "elastic.json"), str(ck_a),
+        env_extra={"GA_TPU_DIE_AFTER_BATCH": "1", "GA_TPU_DIE_RANK": "2"},
+    )
+    assert got["attempts"] == [4, 3], got
+    assert got["summary"]["resumed_from"] == 1
+    assert got["summary"]["devices"] == 12
+    assert got["summary"]["overflow"] == 0
+
+    base = run_elastic.supervise(
+        4, str(tmp_path / "base.json"), str(ck_b), env_extra={}
+    )
+    assert base["attempts"] == [4]
+    assert base["summary"]["digest"] == got["summary"]["digest"]
+    assert base["summary"]["entries"] == got["summary"]["entries"]

@@ -74,7 +74,14 @@ def main() -> int:
     _, reads, _ = datagen.generate_coverage_reads(
         genome_len=900, read_len=48, coverage=6, seed=33, with_reverse=True
     )
-    rows = 3 * n_shards
+    # GA_TPU_MH_ROWS pins the batch shape independent of world size, so an
+    # ELASTIC relaunch with fewer processes replays the identical batch
+    # sequence (rows must divide by every world's shard count)
+    rows = int(os.environ.get("GA_TPU_MH_ROWS", str(3 * n_shards)))
+    if rows % n_shards:
+        raise SystemExit(
+            f"GA_TPU_MH_ROWS={rows} not divisible by {n_shards} shards"
+        )
     batches = [
         reads_io.pad_batch(b, rows)
         for b in reads_io.batch_reads(reads, 64, rows)
