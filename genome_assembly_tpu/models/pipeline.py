@@ -838,10 +838,8 @@ class ParityAssembler:
         cfg = self.config
         dirty = nonacgt.has_non_acgt(reads)
         if mesh is not None:
-            if dirty:
-                self._reject_dirty(reads, "sharded counting")
             return self._assemble_sharded(
-                reads, mesh, verbose, routing=routing
+                reads, mesh, verbose, routing=routing, dirty=dirty
             ), PhaseStats(n_reads=len(reads))
         if self._needs_outofcore(reads):
             if dirty:
@@ -980,7 +978,7 @@ class ParityAssembler:
 
     def _assemble_sharded(
         self, reads: Sequence[str], mesh, verbose: bool,
-        routing: str = "padded",
+        routing: str = "padded", dirty: bool = False,
     ):
         """Distributed counting (minimizer all_to_all) -> native replay.
 
@@ -988,6 +986,11 @@ class ParityAssembler:
         accumulates its owned records across batches, so groups spanning
         batches stay whole (sharded_count_batches).  routing="ragged"
         exchanges exact record counts -- the skew-robust path.
+
+        dirty: reads contain non-ACGT bytes.  Shards own complete
+        (mmer, kmer) groups and record streams are global, so the same
+        exception regroup as the single-device paths runs on the merged
+        table (parity/nonacgt.py).
         """
         from genome_assembly_tpu.native import replay_native
         from genome_assembly_tpu.parallel import shard_count
@@ -1017,6 +1020,17 @@ class ParityAssembler:
                 f"minimizer routing overflow ({overflow} records); rerun "
                 "with a larger slack factor"
             )
+        if dirty:
+            from genome_assembly_tpu.parity import nonacgt
+
+            host, streams = shard_count.sharded_host_table_with_streams(sc)
+            # stream numbering: rows per batch (not cfg.batch_reads) set
+            # the per-read row stride in the sharded batch layout
+            groups = nonacgt.regroup_with_exceptions(
+                host, streams, reads,
+                k=cfg.k, m=cfg.m, n_win=cfg.max_read_len - cfg.k + 1,
+            )
+            return self._replay_string_groups(groups, "auto", verbose)
         mmer, hi, lo, offsets, flat_ids = shard_count.sharded_groups_for_replay(sc)
         text, _ = replay_native.replay(
             mmer, hi, lo, offsets, flat_ids,

@@ -704,6 +704,40 @@ def sharded_groups_for_replay(sc: ShardedCount):
     Ownership partitioning loses no ordering information because each
     group's first_seen stream index is global.
     """
+    mmer_o, hi_o, lo_o, offsets, flat_ids, _ = _sharded_groups(sc)
+    return mmer_o, hi_o, lo_o, offsets, flat_ids
+
+
+def sharded_host_table_with_streams(sc: ShardedCount):
+    """ShardedCount -> (parity HostTable, per-group occurrence streams).
+
+    The stream lane rides the same grouped layout as read ids, so the
+    identical slicing yields each occurrence's global stream index --
+    what the non-ACGT exception regroup (parity/nonacgt.py) needs.
+    """
+    from genome_assembly_tpu.parity import table as table_ops
+
+    mmer_o, hi_o, lo_o, offsets, flat_ids, flat_streams = _sharded_groups(sc)
+    read_ids = [
+        flat_ids[offsets[i] : offsets[i + 1]].astype(np.uint32)
+        for i in range(len(mmer_o))
+    ]
+    streams = [
+        flat_streams[offsets[i] : offsets[i + 1]].astype(np.uint32)
+        for i in range(len(mmer_o))
+    ]
+    first = np.asarray(
+        [s[0] if len(s) else 0 for s in streams], dtype=np.uint32
+    )
+    host = table_ops.HostTable(
+        mmer=mmer_o, kmer_hi=hi_o, kmer_lo=lo_o,
+        count=(offsets[1:] - offsets[:-1]).astype(np.int32),
+        first_seen=first, read_ids=read_ids,
+    )
+    return host, streams
+
+
+def _sharded_groups(sc: ShardedCount):
     mmer = np.asarray(sc.mmer)
     khi = np.asarray(sc.kmer_hi)
     klo = np.asarray(sc.kmer_lo)
@@ -713,7 +747,7 @@ def sharded_groups_for_replay(sc: ShardedCount):
     gs = np.asarray(sc.group_start)
     valid = np.asarray(sc.valid)
 
-    g_mmer, g_hi, g_lo, g_first, g_ids = [], [], [], [], []
+    g_mmer, g_hi, g_lo, g_first, g_ids, g_strm = [], [], [], [], [], []
     for s in range(mmer.shape[0]):
         starts = np.flatnonzero(gs[s] & valid[s])
         for g in starts:
@@ -723,6 +757,7 @@ def sharded_groups_for_replay(sc: ShardedCount):
             g_lo.append(klo[s, g])
             g_first.append(stream[s, g])
             g_ids.append(rid[s, g : g + c])
+            g_strm.append(stream[s, g : g + c])
     order = np.argsort(np.asarray(g_first), kind="stable")
     mmer_o = np.asarray(g_mmer, dtype=np.uint32)[order]
     hi_o = np.asarray(g_hi, dtype=np.uint32)[order]
@@ -735,7 +770,14 @@ def sharded_groups_for_replay(sc: ShardedCount):
         if len(order)
         else np.zeros(0, dtype=np.int32)
     )
-    return mmer_o, hi_o, lo_o, offsets, flat_ids
+    flat_streams = (
+        np.concatenate(
+            [np.asarray(g_strm[i], dtype=np.uint32) for i in order]
+        )
+        if len(order)
+        else np.zeros(0, dtype=np.uint32)
+    )
+    return mmer_o, hi_o, lo_o, offsets, flat_ids, flat_streams
 
 
 def sharded_to_host_dict(sc: ShardedCount, k: int, m: int):

@@ -291,3 +291,28 @@ def test_lowercase_run_stale_signature_scoring():
         (s, km, tuple(reversed(v))) for (s, km), v in want.items()
     )
     assert got == spec
+
+
+def test_nonacgt_sharded_matches_single_device():
+    """Dirty reads through the distributed parity count (mesh path): the
+    sharded record lanes carry global streams, so the exception regroup
+    runs on the merged table and the output equals the single-device
+    dirty path exactly -- multi-batch, both print formats."""
+    import os
+
+    import jax
+    from jax.sharding import Mesh
+
+    assert jax.device_count() == 8, "virtual mesh missing"
+    mesh = Mesh(np.array(jax.devices()), ("shards",))
+
+    reads = _dirty_reads()  # 80 reads
+    cfg = PipelineConfig(k=6, m=3, max_read_len=32, batch_reads=24)
+    asm = ParityAssembler(cfg)
+    want, _ = asm.assemble(reads)
+    got, _ = asm.assemble(reads, mesh=mesh)
+    assert got == want
+    want_v, _ = asm.assemble(reads, verbose=True)
+    got_v, _ = asm.assemble(reads, mesh=mesh, verbose=True)
+    assert got_v == want_v
+    assert any(not frozenset("ACGT").issuperset(l) for l in got)
