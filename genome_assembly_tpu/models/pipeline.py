@@ -813,6 +813,16 @@ class ParityAssembler:
         return host, stats
 
     def pruned_table_dict(self, reads: Sequence[str]) -> Dict:
+        from genome_assembly_tpu.parity import nonacgt
+
+        if nonacgt.has_non_acgt(reads):
+            # raw-byte keys can't ride the packed HostTable; the string
+            # groups carry them (this is the path pruned_table's reject
+            # message points dirty callers to)
+            return {
+                (sig, km): list(map(int, reversed(ids)))
+                for sig, km, ids in self.pruned_table_groups(reads)
+            }
         host, _ = self.pruned_table(reads)
         return table_ops.decode_table(host, self.config.k, self.config.m)
 

@@ -316,3 +316,14 @@ def test_nonacgt_sharded_matches_single_device():
     got_v, _ = asm.assemble(reads, mesh=mesh, verbose=True)
     assert got_v == want_v
     assert any(not frozenset("ACGT").issuperset(l) for l in got)
+
+
+def test_pruned_table_dict_dirty():
+    """pruned_table_dict is the documented dirty-capable table surface
+    (pruned_table's reject message points here): it must equal the
+    executable spec's table on a dirty read set instead of raising."""
+    reads = _dirty_reads()
+    asm = ParityAssembler(_cfg())
+    got = asm.pruned_table_dict(reads)
+    want = model.count_table(model.scan_reads(reads, 6, 3), 1)
+    assert got == want
