@@ -1098,12 +1098,16 @@ def _materialize_prep_sort(valid, head, rank, is_cycle):
     to the resident graph.
     """
     n2 = head.shape[0]
-    node_valid = jnp.repeat(valid, 2)
+    sid = jnp.arange(n2, dtype=jnp.int32)
+    # flat gather, NOT jnp.repeat(valid, 2): the repeat's [N, 2] pred
+    # intermediate tile-pads the minor dim 2 -> 128 (64x), a 32 GB
+    # allocation at chr1 scale that OOMs the AOT compiler (the
+    # "deterministic relay 500" that killed the r3c/r3d/r4c tails)
+    node_valid = valid[sid >> 1]
     lin = node_valid & ~is_cycle
     big = jnp.int32(0x7FFFFFFF)
     key_head = jnp.where(lin, head, big)
     key_rank = jnp.where(lin, rank, big)
-    sid = jnp.arange(n2, dtype=jnp.int32)
     h_s, _, sid_s = lax.sort((key_head, key_rank, sid), num_keys=2)
     prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), h_s[:-1]])
     chain_start = (h_s != prev) & (h_s != big)

@@ -306,8 +306,11 @@ def main() -> int:
 
     @jax.jit
     def _graph_stats_jit(head, rank, is_cycle, valid):
-        node_valid = jnp.repeat(valid, 2)
         ids = jnp.arange(head.shape[0], dtype=jnp.int32)
+        # flat gather, not repeat: a [N, 2] pred broadcast tile-pads
+        # 2 -> 128 and OOMs the AOT compiler at chr1 scale (ops/dbg.py
+        # _materialize_prep_sort has the full story)
+        node_valid = valid[ids >> 1]
         # a linear chain's head state is its own head (isolated states too)
         lin_heads = jnp.sum((head == ids) & node_valid & ~is_cycle)
         n_cyc_states = jnp.sum(is_cycle & node_valid)
@@ -332,22 +335,25 @@ def main() -> int:
         # second rung: each stat as its OWN jit (a different jaxpr may
         # dodge the helper crash); whatever fails stays -1
         out = [-1, -1, -1]
-        stats = (
-            lambda: jnp.sum(
-                (jnp.asarray(head)
-                 == jnp.arange(head.shape[0], dtype=jnp.int32))
-                & jnp.repeat(jnp.asarray(valid), 2)
-                & ~jnp.asarray(is_cycle)
-            ),
-            lambda: jnp.sum(
-                jnp.asarray(is_cycle) & jnp.repeat(jnp.asarray(valid), 2)
-            ),
-            lambda: jnp.max(
-                jnp.where(
-                    jnp.repeat(jnp.asarray(valid), 2), jnp.asarray(rank), 0
-                )
-            ),
-        )
+        def _nv():
+            ids2 = jnp.arange(head.shape[0], dtype=jnp.int32)
+            return jnp.asarray(valid)[ids2 >> 1], ids2
+
+        def _s0():
+            nv, ids2 = _nv()
+            return jnp.sum(
+                (jnp.asarray(head) == ids2) & nv & ~jnp.asarray(is_cycle)
+            )
+
+        def _s1():
+            nv, _ = _nv()
+            return jnp.sum(jnp.asarray(is_cycle) & nv)
+
+        def _s2():
+            nv, _ = _nv()
+            return jnp.max(jnp.where(nv, jnp.asarray(rank), 0))
+
+        stats = (_s0, _s1, _s2)
         for i, fn in enumerate(stats):
             try:  # pragma: no cover - relay-specific
                 out[i] = int(jax.jit(fn)())
