@@ -123,8 +123,12 @@ def build_unitig_links(
     rhi, rlo = encode.reverse_complement_packed(khi, klo, k)
 
     # states: [2N] node = s >> 1, strand = s & 1
-    node = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 2)
-    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), n)
+    # iota arithmetic, not repeat/tile: their [n, 2]
+    # broadcasts tile-pad 2 -> 128 if materialized (the AOT
+    # OOM class of dbg._materialize_prep_sort)
+    sid2 = jnp.arange(2 * n, dtype=jnp.int32)
+    node = sid2 >> 1
+    strand = sid2 & 1
     ohi, olo = _oriented_value(khi[node], klo[node], rhi[node], rlo[node], strand)
     state_valid = valid[node]
 
@@ -203,8 +207,12 @@ def build_unitig_links_join(
     n_hi = k - n_lo
 
     rhi, rlo = encode.reverse_complement_packed(khi, klo, k)
-    node = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 2)
-    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), n)
+    # iota arithmetic, not repeat/tile: their [n, 2]
+    # broadcasts tile-pad 2 -> 128 if materialized (the AOT
+    # OOM class of dbg._materialize_prep_sort)
+    sid2 = jnp.arange(2 * n, dtype=jnp.int32)
+    node = sid2 >> 1
+    strand = sid2 & 1
     ohi, olo = _oriented_value(khi[node], klo[node], rhi[node], rlo[node], strand)
     state_valid = valid[node]
     state_id = jnp.arange(2 * n, dtype=jnp.uint32)
@@ -281,8 +289,12 @@ def _chunk_boundary_records(
     n_lo = min(k, 16)
     n_hi = k - n_lo
     rhi, rlo = encode.reverse_complement_packed(khi_c, klo_c, k)
-    node = jnp.repeat(jnp.arange(chunk_nodes, dtype=jnp.int32), 2)
-    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), chunk_nodes)
+    # iota arithmetic, not repeat/tile: their [chunk_nodes, 2]
+    # broadcasts tile-pad 2 -> 128 if materialized (the AOT
+    # OOM class of dbg._materialize_prep_sort)
+    sid2 = jnp.arange(2 * chunk_nodes, dtype=jnp.int32)
+    node = sid2 >> 1
+    strand = sid2 & 1
     gid = (2 * (base_node.astype(jnp.int32) + node) + strand).astype(jnp.uint32)
     ohi = jnp.where(strand == 0, khi_c[node], rhi[node])
     olo = jnp.where(strand == 0, klo_c[node], rlo[node])

@@ -275,8 +275,12 @@ def _links_body(khi_l, klo_l, valid_l, *, k, n_shards, rows, cap, cap_tab):
     )
 
     rhi_l, rlo_l = encode.reverse_complement_packed(khi_l, klo_l, k)
-    node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
-    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
+    # iota arithmetic, not repeat/tile: their [rows, 2]
+    # broadcasts tile-pad 2 -> 128 if materialized (the AOT
+    # OOM class of dbg._materialize_prep_sort)
+    sid2 = jnp.arange(2 * rows, dtype=jnp.int32)
+    node_l = sid2 >> 1
+    strand = sid2 & 1
     gid = 2 * (base + node_l) + strand
     ohi = jnp.where(strand == 0, khi_l[node_l], rhi_l[node_l])
     olo = jnp.where(strand == 0, klo_l[node_l], rlo_l[node_l])
@@ -389,8 +393,12 @@ def _boundary_records(khi_l, klo_l, valid_l, *, k, rows, gid):
     keyed by the oriented suffix, IN rows by the oriented prefix, payload
     = (side << 31) | gid.  Shared by the flat and two-level joins."""
     rhi_l, rlo_l = encode.reverse_complement_packed(khi_l, klo_l, k)
-    node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
-    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
+    # iota arithmetic, not repeat/tile: their [rows, 2]
+    # broadcasts tile-pad 2 -> 128 if materialized (the AOT
+    # OOM class of dbg._materialize_prep_sort)
+    sid2 = jnp.arange(2 * rows, dtype=jnp.int32)
+    node_l = sid2 >> 1
+    strand = sid2 & 1
     ohi = jnp.where(strand == 0, khi_l[node_l], rhi_l[node_l])
     olo = jnp.where(strand == 0, klo_l[node_l], rlo_l[node_l])
     state_valid = valid_l[node_l]
@@ -469,8 +477,12 @@ def _links_join_body(
     above at scale (NOTES.md gather-vs-sort measurements).
     """
     base_node = lax.axis_index(SHARD_AXIS).astype(jnp.int32) * rows
-    node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
-    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
+    # iota arithmetic, not repeat/tile: their [rows, 2]
+    # broadcasts tile-pad 2 -> 128 if materialized (the AOT
+    # OOM class of dbg._materialize_prep_sort)
+    sid2 = jnp.arange(2 * rows, dtype=jnp.int32)
+    node_l = sid2 >> 1
+    strand = sid2 & 1
     gid = (2 * (base_node + node_l) + strand).astype(jnp.uint32)
     key_hi, key_lo, payload, active = _boundary_records(
         khi_l, klo_l, valid_l, k=k, rows=rows, gid=gid
@@ -718,8 +730,12 @@ def _links_join_body_wide(
     id (< 2*rows, always < 2**31), and the emitting shard -- the state's
     home by construction -- is recovered from the exchange block row.
     """
-    node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
-    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
+    # iota arithmetic, not repeat/tile: their [rows, 2]
+    # broadcasts tile-pad 2 -> 128 if materialized (the AOT
+    # OOM class of dbg._materialize_prep_sort)
+    sid2 = jnp.arange(2 * rows, dtype=jnp.int32)
+    node_l = sid2 >> 1
+    strand = sid2 & 1
     lid = (2 * node_l + strand).astype(jnp.uint32)
     key_hi, key_lo, payload, active = _boundary_records(
         khi_l, klo_l, valid_l, k=k, rows=rows, gid=lid
