@@ -690,6 +690,7 @@ def partitioned_count(
     checkpoint_dir: str | None = None,
     return_host: bool = False,
     scan_chunk: int = 1,
+    only_partitions: tuple | None = None,
 ) -> PartitionedCount:
     """Count n_batches record batches in ceil(P/G) re-scan passes.
 
@@ -729,6 +730,15 @@ def partitioned_count(
     Partition contents depend only on (partitions, cutoff, dataset), NOT
     on G or cap_bp, so checkpoints survive group/staging retuning; a
     partition saved with recorded overflow is recounted, not reused.
+
+    only_partitions=(lo, hi): count ONLY partitions in [lo, hi) -- the
+    multi-host division of SCALE.md section 2 made executable.  Requires
+    checkpoint_dir (results flow through the shared part_<p>.npz format:
+    each host banks its range, and a final rangeless call merges every
+    partition with ZERO re-scans).  Groups with no owned partition are
+    skipped entirely; a group straddling the range boundary stages its
+    whole group in one pass but counts/saves only the owned partitions.
+    The returned arrays cover only the owned range.
 
     Each partition's kept keys are trimmed to their TRUE count on the host
     before accumulation (no per-partition padding), so hash skew between
@@ -831,11 +841,25 @@ def partitioned_count(
             )
             return ghis, glos, jnp.sum(ovfs, axis=0)
 
+    if only_partitions is not None:
+        if ckpt is None:
+            raise ValueError(
+                "only_partitions requires checkpoint_dir (partition "
+                "results flow through the shared part_<p>.npz files)"
+            )
+        own_lo, own_hi = int(only_partitions[0]), int(only_partitions[1])
     n_groups = (partitions + G - 1) // G
     for g in range(n_groups):
         group_parts = [
             p for p in range(g * G, min((g + 1) * G, partitions))
         ]
+        if only_partitions is not None:
+            group_parts = [
+                p for p in group_parts if own_lo <= p < own_hi
+            ]
+            if not group_parts:
+                continue
+        owned = set(group_parts)
         missing = [
             p for p in group_parts if ckpt is None or not part_usable(p)
         ]
@@ -923,7 +947,7 @@ def partitioned_count(
         overflowed = []
         for r in range(G):
             p = g * G + r
-            if p >= partitions:
+            if p >= partitions or p not in owned:
                 pieces_hi[r] = pieces_lo[r] = None
                 continue
             if ckpt is not None and part_usable(p):

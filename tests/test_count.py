@@ -707,3 +707,70 @@ def test_partitioned_count_super_scan_chunk_matches_per_batch():
         np.testing.assert_array_equal(
             np.asarray(base.kmer_lo), np.asarray(fused.kmer_lo)
         )
+
+
+def test_partitioned_count_multihost_ranges(tmp_path):
+    """SCALE.md section 2's "an N-host slice divides the passes" made
+    executable: two workers count DISJOINT partition ranges
+    (only_partitions) into one shared checkpoint dir, then a rangeless
+    merge call reproduces the full run bit-for-bit with ZERO re-scans
+    (batch_keys is called only for the probe)."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import minimizer, outofcore
+
+    k, m, cutoff = 15, 7, 1
+    rng = np.random.default_rng(23)
+    genome = rng.integers(0, 4, size=2500, dtype=np.uint8)
+    n_batches, batch, L = 3, 64, 64
+    starts = rng.integers(0, len(genome) - L, size=(n_batches, batch))
+    calls = {"n": 0}
+
+    def batch_keys(b):
+        calls["n"] += 1
+        codes = np.stack([genome[s : s + L] for s in starts[b]])
+        recs = minimizer.fast_scan(
+            jnp.asarray(codes), jnp.full((batch,), L, jnp.int32), k=k, m=m
+        )
+        sent = jnp.uint32(0xFFFFFFFF)
+        hi = jnp.where(recs.valid, recs.kmer_hi, sent).reshape(-1)
+        lo = jnp.where(recs.valid, recs.kmer_lo, sent).reshape(-1)
+        return hi, lo
+
+    kw = dict(
+        partitions=6, cutoff=cutoff, kept_cap=8192, slack=2.0,
+        group_size=2, return_host=True,
+    )
+    full = outofcore.partitioned_count(batch_keys, n_batches, **kw)
+    assert full.batch_overflows == 0
+
+    ck = str(tmp_path / "shared")
+    # "host" A counts partitions [0, 3), "host" B counts [3, 6)
+    a = outofcore.partitioned_count(
+        batch_keys, n_batches, checkpoint_dir=ck,
+        only_partitions=(0, 3), **kw,
+    )
+    b = outofcore.partitioned_count(
+        batch_keys, n_batches, checkpoint_dir=ck,
+        only_partitions=(3, 6), **kw,
+    )
+    assert a.n_kept + b.n_kept == full.n_kept
+    assert a.n_distinct + b.n_distinct == full.n_distinct
+
+    calls["n"] = 0
+    merged = outofcore.partitioned_count(
+        batch_keys, n_batches, checkpoint_dir=ck, **kw
+    )
+    assert calls["n"] == 1, "merge re-scanned instead of loading"
+    assert merged.n_kept == full.n_kept
+    assert merged.n_distinct == full.n_distinct
+    assert set(zip(np.asarray(merged.kmer_hi), np.asarray(merged.kmer_lo))) \
+        == set(zip(np.asarray(full.kmer_hi), np.asarray(full.kmer_lo)))
+
+    # a worker without a checkpoint dir must refuse the range
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        outofcore.partitioned_count(
+            batch_keys, n_batches, only_partitions=(0, 3), **kw
+        )

@@ -96,3 +96,43 @@ def test_small_preset_partitioned_ext_modes_match_bulk():
             ev["extension"]["longest_chain"]
             == bulk["extension"]["longest_chain"]
         )
+
+
+@pytest.mark.slow
+def test_scale_runner_part_range_division(tmp_path):
+    """Two --part-range workers + a rangeless merge reproduce the plain
+    out-of-core run's counts through the CLI surface."""
+    import subprocess
+
+    ck = str(tmp_path / "shared")
+    base = [
+        sys.executable, str(REPO / "tools/run_scale.py"), "--preset",
+        "small", "--cpu", "--partitions", "4", "--count-only",
+        "--checkpoint-dir", ck,
+    ]
+    w1 = subprocess.run(
+        base + ["--part-range", "0:2"], capture_output=True, text=True,
+        timeout=600,
+    )
+    assert w1.returncode == 0, w1.stdout[-2000:] + w1.stderr[-2000:]
+    w2 = subprocess.run(
+        base + ["--part-range", "2:4"], capture_output=True, text=True,
+        timeout=600,
+    )
+    assert w2.returncode == 0, w2.stdout[-2000:] + w2.stderr[-2000:]
+    merged = subprocess.run(base, capture_output=True, text=True, timeout=600)
+    assert merged.returncode == 0, merged.stdout[-2000:] + merged.stderr[-2000:]
+    fresh = subprocess.run(
+        base[:-2], capture_output=True, text=True, timeout=600
+    )
+    assert fresh.returncode == 0
+
+    def count_event(out):
+        for line in out.splitlines():
+            if '"scan_and_count"' in line:
+                return json.loads(line)
+        raise AssertionError("no scan_and_count event:\n" + out[-2000:])
+
+    ev_m, ev_f = count_event(merged.stdout), count_event(fresh.stdout)
+    assert ev_m["distinct"] == ev_f["distinct"]
+    assert ev_m["kept"] == ev_f["kept"]

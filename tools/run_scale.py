@@ -150,6 +150,16 @@ def main() -> int:
         "checkpoints (killed runs resume at the last finished pass)",
     )
     ap.add_argument(
+        "--part-range",
+        default="",
+        metavar="LO:HI",
+        help="count ONLY out-of-core partitions [LO, HI) into the shared "
+        "--checkpoint-dir (the multi-host pass division of SCALE.md "
+        "section 2: each host takes a disjoint range, then a rangeless "
+        "run merges every partition with zero re-scans); implies "
+        "--count-only semantics for this worker",
+    )
+    ap.add_argument(
         "--ext-mode",
         choices=("bulk", "part", "wide"),
         default="bulk",
@@ -419,7 +429,11 @@ def main() -> int:
                 scan_chunk=scan_chunk,
             )
         else:
-            emit("outofcore", partitions=partitions)
+            part_range = None
+            if args.part_range:
+                lo_s, hi_s = args.part_range.split(":")
+                part_range = (int(lo_s), int(hi_s))
+            emit("outofcore", partitions=partitions, part_range=part_range)
             pc = outofcore.partitioned_count(
                 lambda b: simulate_and_scan(genome, kr, b),
                 n_batches,
@@ -431,7 +445,17 @@ def main() -> int:
                 checkpoint_dir=args.checkpoint_dir or None,
                 return_host=args.park_keys,
                 scan_chunk=scan_chunk,
+                only_partitions=part_range,
             )
+            if part_range is not None:
+                emit(
+                    "count_worker_done",
+                    part_range=list(part_range),
+                    n_kept=int(pc.n_kept),
+                    n_distinct=int(pc.n_distinct),
+                    overflows=int(pc.batch_overflows),
+                )
+                return 0
         assert pc.batch_overflows == 0, "raise outofcore slack"
         assert not pc.kept_overflow, f"raise kept_cap (kept={pc.n_kept})"
         khi, klo, valid = pc.kmer_hi, pc.kmer_lo, pc.valid
