@@ -1169,8 +1169,15 @@ def partitioned_count_super(
     checkpoint_dir: str | None = None,
     return_host: bool = False,
     scan_chunk: int = 1,
+    only_partitions: tuple | None = None,
 ) -> PartitionedCount:
     """Out-of-core counting over SUPER-K-MER records (ops/superkmer.py).
+
+    only_partitions=(lo, hi): worker form of the multi-host pass
+    division, exactly as in :func:`partitioned_count` (requires
+    checkpoint_dir; partitions= must be given explicitly OR the probe
+    batch must be identical across workers -- it is, batch 0 is
+    deterministic per dataset).
 
     scan_chunk > 1 fuses that many batches per dispatch exactly like
     partitioned_count (requires a traceable batch_super; results are
@@ -1287,9 +1294,21 @@ def partitioned_count_super(
             )
             return lanes_s, jnp.sum(ovfs, axis=0)
 
+    if only_partitions is not None:
+        if ckpt is None:
+            raise ValueError(
+                "only_partitions requires checkpoint_dir (partition "
+                "results flow through the shared part_<p>.npz files)"
+            )
+        own_lo, own_hi = int(only_partitions[0]), int(only_partitions[1])
     n_groups = (partitions + G - 1) // G
     for g in range(n_groups):
         group_parts = [p for p in range(g * G, min((g + 1) * G, partitions))]
+        if only_partitions is not None:
+            group_parts = [p for p in group_parts if own_lo <= p < own_hi]
+            if not group_parts:
+                continue
+        owned = set(group_parts)
         missing = [
             p for p in group_parts if ckpt is None or not part_usable(p)
         ]
@@ -1361,7 +1380,7 @@ def partitioned_count_super(
         overflowed = []
         for r in range(G):
             p = g * G + r
-            if p >= partitions:
+            if p >= partitions or p not in owned:
                 pieces[r] = None
                 continue
             if ckpt is not None and part_usable(p):

@@ -774,3 +774,49 @@ def test_partitioned_count_multihost_ranges(tmp_path):
         outofcore.partitioned_count(
             batch_keys, n_batches, only_partitions=(0, 3), **kw
         )
+
+
+def test_partitioned_count_super_multihost_ranges(tmp_path):
+    """only_partitions on the SUPER count: disjoint worker ranges into a
+    shared dir + rangeless merge == the undivided run (config 5's
+    division story covers the super scheme too)."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import outofcore, superkmer
+
+    k, m, cutoff = 31, 7, 1
+    rng = np.random.default_rng(61)
+    genome = rng.integers(0, 4, size=4000, dtype=np.uint8)
+    genome[100:300] = 3
+    n_batches, batch, L = 4, 64, 128
+    starts = rng.integers(0, len(genome) - L, size=(n_batches, batch))
+    lengths = rng.integers(k, L + 1, size=(n_batches, batch)).astype(np.int32)
+
+    def batch_super(b):
+        codes = jnp.asarray(np.stack([genome[s : s + L] for s in starts[b]]))
+        return superkmer.super_records(codes, jnp.asarray(lengths[b]), k=k, m=m)
+
+    kw = dict(
+        k=k, m=m, partitions=9, cutoff=cutoff, kept_cap=65536,
+        group_size=4, expand_chunk=512, return_host=True,
+    )
+    full = outofcore.partitioned_count_super(batch_super, n_batches, **kw)
+    assert full.batch_overflows == 0
+
+    ck = str(tmp_path / "shared")
+    a = outofcore.partitioned_count_super(
+        batch_super, n_batches, checkpoint_dir=ck,
+        only_partitions=(0, 5), **kw,
+    )
+    b = outofcore.partitioned_count_super(
+        batch_super, n_batches, checkpoint_dir=ck,
+        only_partitions=(5, 9), **kw,
+    )
+    assert a.n_kept + b.n_kept == full.n_kept
+    merged = outofcore.partitioned_count_super(
+        batch_super, n_batches, checkpoint_dir=ck, **kw
+    )
+    assert merged.n_kept == full.n_kept
+    assert merged.n_distinct == full.n_distinct
+    assert set(zip(np.asarray(merged.kmer_hi), np.asarray(merged.kmer_lo))) \
+        == set(zip(np.asarray(full.kmer_hi), np.asarray(full.kmer_lo)))
