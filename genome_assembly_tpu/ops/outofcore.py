@@ -1063,23 +1063,26 @@ def extract_partition_range_super(
     return outs + (ovf,)
 
 
-@functools.partial(jax.jit, static_argnames=("cutoff", "k", "m", "chunk"))
-def _count_super_partition(lanes, *, cutoff: int, k: int, m: int, chunk: int):
-    """Expand one partition's records chunk-wise and count the windows."""
+@jax.jit
+def _compact_super_lanes(lanes):
+    """Sort real records to the front (SENTINEL rows last) and count them."""
+    lanes = lax.sort(tuple(lanes), num_keys=1)
+    return lanes, jnp.sum(lanes[0] != SENTINEL)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cutoff", "k", "m", "chunk", "n_chunks")
+)
+def _expand_count_super(
+    lanes, *, cutoff: int, k: int, m: int, chunk: int, n_chunks: int
+):
     from genome_assembly_tpu.ops import superkmer
 
-    n = lanes[0].shape[0]
-    n_chunks = (n + chunk - 1) // chunk
-    pad = n_chunks * chunk - n
-    padded = [
-        jnp.concatenate([x, jnp.full((pad,), SENTINEL, jnp.uint32)])
-        for x in lanes
-    ]
     his, los = [], []
     for c in range(n_chunks):
         s = c * chunk
         hi, lo = superkmer.expand_records(
-            *(x[s : s + chunk] for x in padded), k=k, m=m
+            *(x[s : s + chunk] for x in lanes), k=k, m=m
         )
         his.append(hi)
         los.append(lo)
@@ -1095,6 +1098,43 @@ def _count_super_partition(lanes, *, cutoff: int, k: int, m: int, chunk: int):
     n_distinct = jnp.sum(kc.group_start & kc.valid)
     n_kept = jnp.sum(kc.keep)
     return khi, klo, n_distinct, n_kept
+
+
+def _count_super_partition(lanes, *, cutoff: int, k: int, m: int, chunk: int):
+    """Expand one partition's records chunk-wise and count the windows.
+
+    Real records are compacted to the front first (one 6-lane sort;
+    SENTINEL rows sort last) and only occupied chunks expand: the staged
+    layout is n_batches x cap_bp slots and mostly sentinels under skewed
+    caps, so expanding it raw multiplies the EMPTY slots by S_CAP too --
+    6,867 batches x cap x 25 x 8 B was a 13.7 GB expansion buffer at
+    humanchr scale (RESOURCE_EXHAUSTED, runs/humanchr_w1_r4.err).  The
+    occupied chunk count rounds up to a power of two so the expansion +
+    count graphs compile for O(log) distinct shapes, not one per
+    partition; the per-partition n_real readback is the same single
+    scalar round-trip the partition totals already pay.
+    """
+    n = lanes[0].shape[0]
+    lanes, n_real_dev = _compact_super_lanes(tuple(lanes))
+    n_real = int(n_real_dev)
+    n_chunks_all = (n + chunk - 1) // chunk
+    need = max(1, -(-n_real // chunk))
+    n_chunks = 1
+    while n_chunks < need:
+        n_chunks *= 2
+    n_chunks = min(n_chunks, n_chunks_all)
+    eff = n_chunks * chunk
+    if eff <= n:
+        lanes = tuple(x[:eff] for x in lanes)
+    else:
+        pad = eff - n
+        lanes = tuple(
+            jnp.concatenate([x, jnp.full((pad,), SENTINEL, jnp.uint32)])
+            for x in lanes
+        )
+    return _expand_count_super(
+        lanes, cutoff=cutoff, k=k, m=m, chunk=chunk, n_chunks=n_chunks
+    )
 
 
 def _reextract_partition_super(
