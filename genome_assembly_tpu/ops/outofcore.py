@@ -1078,6 +1078,19 @@ def _expand_count_super(
 ):
     from genome_assembly_tpu.ops import superkmer
 
+    # slice/pad to the occupied prefix INSIDE the jit (static shapes from
+    # static n_chunks): eager per-lane slices would cost 6 relay
+    # dispatches per partition
+    n = lanes[0].shape[0]
+    eff = n_chunks * chunk
+    if eff <= n:
+        lanes = tuple(x[:eff] for x in lanes)
+    else:
+        pad = eff - n
+        lanes = tuple(
+            jnp.concatenate([x, jnp.full((pad,), SENTINEL, jnp.uint32)])
+            for x in lanes
+        )
     his, los = [], []
     for c in range(n_chunks):
         s = c * chunk
@@ -1123,17 +1136,9 @@ def _count_super_partition(lanes, *, cutoff: int, k: int, m: int, chunk: int):
     while n_chunks < need:
         n_chunks *= 2
     n_chunks = min(n_chunks, n_chunks_all)
-    eff = n_chunks * chunk
-    if eff <= n:
-        lanes = tuple(x[:eff] for x in lanes)
-    else:
-        pad = eff - n
-        lanes = tuple(
-            jnp.concatenate([x, jnp.full((pad,), SENTINEL, jnp.uint32)])
-            for x in lanes
-        )
     return _expand_count_super(
-        lanes, cutoff=cutoff, k=k, m=m, chunk=chunk, n_chunks=n_chunks
+        tuple(lanes), cutoff=cutoff, k=k, m=m, chunk=chunk,
+        n_chunks=n_chunks,
     )
 
 
