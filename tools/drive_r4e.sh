@@ -1,13 +1,16 @@
 #!/bin/bash
 # Round-4 TPU queue, slot E: humanchr fraction windows, attempt 2.
 #
-# The r4c windows died with RESOURCE_EXHAUSTED in the super partition
-# count (raw-layout expansion multiplied sentinel slots by S_CAP=25 --
-# fixed in d7c7b3e: compact-then-expand).  Serialized after r4d (chr1
-# materialize).  Windows are shorter than r4c's so both fit before the
-# session snapshot; group budget drops 5 -> 4 GB for staging headroom
-# next to the ~5 GB expansion+count transient.
-# Done = parts after window2 > parts after window1 > 0 (VERDICT item 2).
+# r4c's windows died in the super partition count (RESOURCE_EXHAUSTED,
+# fixed in d7c7b3e) -- and window math shows even a healthy full-run
+# pass (~all 6,867 batches) barely fits one fraction window, banking
+# partitions only at pass end.  So the windows now use VERDICT item 2's
+# other lever: the PLAIN range scheme (the program chr1 just proved at
+# 1,967 s for 8 passes) with --part-range, which counts whole partition
+# GROUPS and exits -- each window completes 2-3 one-group passes and
+# banks their partitions durably.  Ranges are multiples of G=7 (the
+# default-budget group width) so no group straddles an ownership edge.
+# Done = parts after window2 > parts after window1 > 0.
 set -u
 cd /root/repo
 log=runs/r4e_driver.log
@@ -19,19 +22,19 @@ while ! grep -q "r4d queue done" runs/r4d_driver.log 2>/dev/null; do
 done
 mark "r4d queue drained"
 
-mark "humanchr window1 (compact-then-expand super, budget 4 GB)"
+mark "humanchr window1 (plain range, --part-range 0:14)"
 timeout 2700 python tools/run_scale.py --preset humanchr --count-only \
-  --park-keys --super --group-budget-gb 4 --checkpoint-dir ckpt/humanchr_r4e \
+  --park-keys --part-range 0:14 --checkpoint-dir ckpt/humanchr_r4e \
   > runs/humanchr_w1_r4e.jsonl 2> runs/humanchr_w1_r4e.err
-mark "humanchr window1 rc=$? (124 expected)"
+mark "humanchr window1 rc=$?"
 n1=$(ls ckpt/humanchr_r4e/part_*.npz 2>/dev/null | wc -l)
 mark "humanchr parts after window1: $n1"
 
-mark "humanchr window2 (resume)"
+mark "humanchr window2 (--part-range 14:28, warm cache)"
 timeout 2100 python tools/run_scale.py --preset humanchr --count-only \
-  --park-keys --super --group-budget-gb 4 --checkpoint-dir ckpt/humanchr_r4e \
+  --park-keys --part-range 14:28 --checkpoint-dir ckpt/humanchr_r4e \
   > runs/humanchr_w2_r4e.jsonl 2> runs/humanchr_w2_r4e.err
-mark "humanchr window2 rc=$? (124 expected)"
+mark "humanchr window2 rc=$?"
 n2=$(ls ckpt/humanchr_r4e/part_*.npz 2>/dev/null | wc -l)
 mark "humanchr parts after window2: $n2 (resume proof if > $n1 > 0)"
 mark "r4e queue done"
