@@ -849,19 +849,18 @@ class ParityAssembler:
         dirty = nonacgt.has_non_acgt(reads)
         if mesh is not None:
             return self._assemble_sharded(
-                reads, mesh, verbose, routing=routing, dirty=dirty
+                reads, mesh, verbose, routing=routing, dirty=dirty,
+                engine=engine,
             ), PhaseStats(n_reads=len(reads))
+        if dirty:
+            # the exception path composes with any scale: _nonacgt_groups
+            # routes past-HBM record sets through the 5-lane partitioned
+            # count with per-occurrence streams (VERDICT r3 item 7)
+            return self._assemble_nonacgt(reads, engine, verbose)
         if self._needs_outofcore(reads):
-            if dirty:
-                # dirty + out-of-core compose: the 5-lane partitioned
-                # count carries per-occurrence streams and the exception
-                # regroup runs on the merged table (VERDICT r3 item 7)
-                return self._assemble_nonacgt_ooc(reads, engine, verbose)
             # hash-partitioned multi-pass counting; cutoff -1 keeps every
             # group -- the replay performs the reference's own pruning
             host_all, stats = self._groups_outofcore(reads, -1)
-        elif dirty:
-            return self._assemble_nonacgt(reads, engine, verbose)
         else:
             counted, stats = self.counter.count_reads(reads)
             host_all = table_ops.extract_groups(counted, pruned=False)
@@ -890,14 +889,22 @@ class ParityAssembler:
 
     def _nonacgt_groups(self, reads: Sequence[str]):
         """Device count + exact raw-byte regrouping (parity/nonacgt.py),
-        unpruned, in insertion order."""
+        unpruned, in insertion order.  Record sets past the HBM budget
+        route through the 5-lane partitioned count (with_streams), so
+        every dirty surface -- assemble, pruned_table_groups,
+        pruned_table_dict -- is out-of-core-safe."""
         from genome_assembly_tpu.parity import nonacgt
 
         cfg = self.config
-        counted, stats = self.counter.count_reads(reads)
-        host_all, streams = table_ops.extract_groups_with_streams(
-            counted, pruned=False
-        )
+        if self._needs_outofcore(reads):
+            host_all, streams, stats = self._groups_outofcore(
+                reads, -1, with_streams=True
+            )
+        else:
+            counted, stats = self.counter.count_reads(reads)
+            host_all, streams = table_ops.extract_groups_with_streams(
+                counted, pruned=False
+            )
         groups = nonacgt.regroup_with_exceptions(
             host_all, streams, reads,
             k=cfg.k, m=cfg.m, n_win=cfg.max_read_len - cfg.k + 1,
@@ -911,27 +918,6 @@ class ParityAssembler:
         regrouped string groups (raw bytes preserved) feed either replay
         engine; pruning happens inside the replay as always."""
         groups, stats = self._nonacgt_groups(reads)
-        return self._replay_string_groups(groups, engine, verbose), stats
-
-    def _assemble_nonacgt_ooc(
-        self, reads: Sequence[str], engine: str, verbose: bool
-    ):
-        """Dirty reads at out-of-core scale: the partitioned 5-lane count
-        returns per-occurrence streams alongside the merged table, the
-        exception path re-keys dirty occurrences exactly as in-core, and
-        the regrouped string groups feed the replay.  Regrouping is
-        partition-safe: it can only SPLIT device groups (parity/nonacgt.py
-        docstring), and partitions hold complete (mmer, kmer) groups."""
-        from genome_assembly_tpu.parity import nonacgt
-
-        cfg = self.config
-        host_all, streams, stats = self._groups_outofcore(
-            reads, -1, with_streams=True
-        )
-        groups = nonacgt.regroup_with_exceptions(
-            host_all, streams, reads,
-            k=cfg.k, m=cfg.m, n_win=cfg.max_read_len - cfg.k + 1,
-        )
         return self._replay_string_groups(groups, engine, verbose), stats
 
     def _replay_string_groups(self, groups, engine: str, verbose: bool):
@@ -988,7 +974,7 @@ class ParityAssembler:
 
     def _assemble_sharded(
         self, reads: Sequence[str], mesh, verbose: bool,
-        routing: str = "padded", dirty: bool = False,
+        routing: str = "padded", dirty: bool = False, engine: str = "auto",
     ):
         """Distributed counting (minimizer all_to_all) -> native replay.
 
@@ -1000,9 +986,9 @@ class ParityAssembler:
         dirty: reads contain non-ACGT bytes.  Shards own complete
         (mmer, kmer) groups and record streams are global, so the same
         exception regroup as the single-device paths runs on the merged
-        table (parity/nonacgt.py).
+        table (parity/nonacgt.py); ``engine`` selects its replay (the
+        clean path is native-only).
         """
-        from genome_assembly_tpu.native import replay_native
         from genome_assembly_tpu.parallel import shard_count
 
         cfg = self.config
@@ -1040,7 +1026,9 @@ class ParityAssembler:
                 host, streams, reads,
                 k=cfg.k, m=cfg.m, n_win=cfg.max_read_len - cfg.k + 1,
             )
-            return self._replay_string_groups(groups, "auto", verbose)
+            return self._replay_string_groups(groups, engine, verbose)
+        from genome_assembly_tpu.native import replay_native
+
         mmer, hi, lo, offsets, flat_ids = shard_count.sharded_groups_for_replay(sc)
         text, _ = replay_native.replay(
             mmer, hi, lo, offsets, flat_ids,

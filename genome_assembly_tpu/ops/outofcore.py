@@ -848,6 +848,12 @@ def partitioned_count(
                 "results flow through the shared part_<p>.npz files)"
             )
         own_lo, own_hi = int(only_partitions[0]), int(only_partitions[1])
+        if own_lo >= min(own_hi, partitions):
+            raise ValueError(
+                f"only_partitions=({own_lo}, {own_hi}) owns nothing: the "
+                f"run has {partitions} partitions (auto-sized; check the "
+                "worker's range against the merge run's partition count)"
+            )
     n_groups = (partitions + G - 1) // G
     for g in range(n_groups):
         group_parts = [
@@ -1346,6 +1352,12 @@ def partitioned_count_super(
                 "results flow through the shared part_<p>.npz files)"
             )
         own_lo, own_hi = int(only_partitions[0]), int(only_partitions[1])
+        if own_lo >= min(own_hi, partitions):
+            raise ValueError(
+                f"only_partitions=({own_lo}, {own_hi}) owns nothing: the "
+                f"run has {partitions} partitions (auto-sized; check the "
+                "worker's range against the merge run's partition count)"
+            )
     n_groups = (partitions + G - 1) // G
     for g in range(n_groups):
         group_parts = [p for p in range(g * G, min((g + 1) * G, partitions))]

@@ -704,7 +704,9 @@ def sharded_groups_for_replay(sc: ShardedCount):
     Ownership partitioning loses no ordering information because each
     group's first_seen stream index is global.
     """
-    mmer_o, hi_o, lo_o, offsets, flat_ids, _ = _sharded_groups(sc)
+    mmer_o, hi_o, lo_o, offsets, flat_ids, _ = _sharded_groups(
+        sc, with_streams=False
+    )
     return mmer_o, hi_o, lo_o, offsets, flat_ids
 
 
@@ -737,7 +739,7 @@ def sharded_host_table_with_streams(sc: ShardedCount):
     return host, streams
 
 
-def _sharded_groups(sc: ShardedCount):
+def _sharded_groups(sc: ShardedCount, with_streams: bool = True):
     mmer = np.asarray(sc.mmer)
     khi = np.asarray(sc.kmer_hi)
     klo = np.asarray(sc.kmer_lo)
@@ -757,7 +759,8 @@ def _sharded_groups(sc: ShardedCount):
             g_lo.append(klo[s, g])
             g_first.append(stream[s, g])
             g_ids.append(rid[s, g : g + c])
-            g_strm.append(stream[s, g : g + c])
+            if with_streams:
+                g_strm.append(stream[s, g : g + c])
     order = np.argsort(np.asarray(g_first), kind="stable")
     mmer_o = np.asarray(g_mmer, dtype=np.uint32)[order]
     hi_o = np.asarray(g_hi, dtype=np.uint32)[order]
@@ -770,13 +773,15 @@ def _sharded_groups(sc: ShardedCount):
         if len(order)
         else np.zeros(0, dtype=np.int32)
     )
-    flat_streams = (
-        np.concatenate(
-            [np.asarray(g_strm[i], dtype=np.uint32) for i in order]
+    flat_streams = None
+    if with_streams:
+        flat_streams = (
+            np.concatenate(
+                [np.asarray(g_strm[i], dtype=np.uint32) for i in order]
+            )
+            if len(order)
+            else np.zeros(0, dtype=np.uint32)
         )
-        if len(order)
-        else np.zeros(0, dtype=np.uint32)
-    )
     return mmer_o, hi_o, lo_o, offsets, flat_ids, flat_streams
 
 

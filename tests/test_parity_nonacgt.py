@@ -327,3 +327,15 @@ def test_pruned_table_dict_dirty():
     got = asm.pruned_table_dict(reads)
     want = model.count_table(model.scan_reads(reads, 6, 3), 1)
     assert got == want
+
+
+def test_pruned_table_dict_dirty_ooc():
+    """The review caught pruned_table_dict staging dirty past-HBM sets
+    in-core; _nonacgt_groups now routes them through the partitioned
+    count.  Same spec equality through the forced-ooc config."""
+    reads = _dirty_reads()
+    asm = ParityAssembler(_ooc_cfg())
+    assert asm._needs_outofcore(reads)
+    got = asm.pruned_table_dict(reads)
+    want = model.count_table(model.scan_reads(reads, 6, 3), 1)
+    assert got == want

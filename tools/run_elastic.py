@@ -61,11 +61,17 @@ def _run_world(
         "GA_TPU_MH_DEVS": os.environ.get("GA_TPU_MH_DEVS", "4"),
         **env_extra,
     }
+    # per-rank log FILES, not pipes: an undrained pipe blocks a chatty
+    # worker at ~64 KiB and the hang would read as a world failure
+    pathlib.Path(ckpt_dir).mkdir(parents=True, exist_ok=True)
+    logs = [
+        open(f"{ckpt_dir}/rank{pid}.log", "ab") for pid in range(nproc)
+    ]
     procs = [
         subprocess.Popen(
             [sys.executable, str(TOOL), str(pid), str(nproc),
              out_path if pid == 0 else "/dev/null", ckpt_dir],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, stdout=logs[pid], stderr=subprocess.STDOUT,
         )
         for pid in range(nproc)
     ]
@@ -91,9 +97,9 @@ def _run_world(
         for p in procs:
             if p.poll() is None:
                 p.kill()
-    for p in procs:
+    for p, lf in zip(procs, logs):
         p.wait()
-        p.stdout.close()
+        lf.close()
     return procs
 
 

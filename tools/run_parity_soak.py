@@ -97,13 +97,11 @@ def main() -> int:
         want = oracle.run_oracle(binary, reads_file, "unitigs").splitlines()
         print(f"oracle: {len(want)} unitigs in {time.time()-t0:.0f}s", flush=True)
 
-        cfg = PipelineConfig(k=31, m=4, max_read_len=128, batch_reads=32768)
-        if dirty:
-            # force the out-of-core 5-lane count at this scale
-            cfg = PipelineConfig(
-                k=31, m=4, max_read_len=128, batch_reads=32768,
-                outofcore_bytes=64 << 20,
-            )
+        cfg = PipelineConfig(
+            k=31, m=4, max_read_len=128, batch_reads=32768,
+            # dirty: force the out-of-core 5-lane count at this scale
+            **({"outofcore_bytes": 64 << 20} if dirty else {}),
+        )
         asm = ParityAssembler(cfg)
         parsed = asm.load(str(reads_file))
         if dirty:

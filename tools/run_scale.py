@@ -401,6 +401,10 @@ def main() -> int:
         from genome_assembly_tpu.ops import outofcore
 
         scan_chunk = args.scan_chunk if args.scan_chunk else 16
+        part_range = None
+        if args.part_range:
+            lo_s, hi_s = args.part_range.split(":")
+            part_range = (int(lo_s), int(hi_s))
         t0 = time.perf_counter()
         if args.super_records:
             from genome_assembly_tpu.ops import superkmer
@@ -414,7 +418,10 @@ def main() -> int:
                 lengths = jnp.full((batch,), read_len, dtype=jnp.int32)
                 return superkmer.super_records(codes, lengths, k=K, m=M)
 
-            emit("outofcore_super", requested_partitions=partitions)
+            emit(
+                "outofcore_super", requested_partitions=partitions,
+                part_range=part_range,
+            )
             pc = outofcore.partitioned_count_super(
                 lambda b: simulate_super(genome, kr, b),
                 n_batches,
@@ -427,12 +434,9 @@ def main() -> int:
                 checkpoint_dir=args.checkpoint_dir or None,
                 return_host=args.park_keys,
                 scan_chunk=scan_chunk,
+                only_partitions=part_range,
             )
         else:
-            part_range = None
-            if args.part_range:
-                lo_s, hi_s = args.part_range.split(":")
-                part_range = (int(lo_s), int(hi_s))
             emit("outofcore", partitions=partitions, part_range=part_range)
             pc = outofcore.partitioned_count(
                 lambda b: simulate_and_scan(genome, kr, b),
@@ -447,15 +451,15 @@ def main() -> int:
                 scan_chunk=scan_chunk,
                 only_partitions=part_range,
             )
-            if part_range is not None:
-                emit(
-                    "count_worker_done",
-                    part_range=list(part_range),
-                    n_kept=int(pc.n_kept),
-                    n_distinct=int(pc.n_distinct),
-                    overflows=int(pc.batch_overflows),
-                )
-                return 0
+        if part_range is not None:
+            emit(
+                "count_worker_done",
+                part_range=list(part_range),
+                n_kept=int(pc.n_kept),
+                n_distinct=int(pc.n_distinct),
+                overflows=int(pc.batch_overflows),
+            )
+            return 0
         assert pc.batch_overflows == 0, "raise outofcore slack"
         assert not pc.kept_overflow, f"raise kept_cap (kept={pc.n_kept})"
         khi, klo, valid = pc.kmer_hi, pc.kmer_lo, pc.valid
