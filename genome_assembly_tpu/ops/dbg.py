@@ -1099,6 +1099,13 @@ _ASCII_TGCA = np.frombuffer(b"TGCA", dtype=np.uint8)
 
 
 @jax.jit
+def _count_cycle_nodes(valid, is_cycle):
+    """Valid cycle-node count (flat gather; see _materialize_prep_sort)."""
+    sid = jnp.arange(is_cycle.shape[0], dtype=jnp.int32)
+    return jnp.sum((is_cycle & valid[sid >> 1]).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 2, 3))
 def _materialize_prep_sort(valid, head, rank, is_cycle):
     """Device walk sort for materialize_unitigs_device.
 
@@ -1107,7 +1114,11 @@ def _materialize_prep_sort(valid, head, rank, is_cycle):
     n_lin, n_cyc).  Split from the byte-extraction pass so the 3-lane
     full-length sort's temporaries are dead before the key gather runs
     -- fused, the two together exceeded a 16 GB chip at 200M states next
-    to the resident graph.
+    to the resident graph.  head/rank/is_cycle are DONATED (4.5 GB at
+    chr1 scale): the caller pre-reads whatever the cycle path needs, and
+    the 3-lane sort's outputs reuse the donated buffers -- without this
+    the sort's operands+outputs alone exceeded the chip at 500M states
+    (runs/chr1_r4d.err).
     """
     n2 = head.shape[0]
     sid = jnp.arange(n2, dtype=jnp.int32)
@@ -1177,6 +1188,7 @@ def materialize_unitigs_device(
     graph: CompactedGraph,
     k: int,
     node_counts=None,
+    donate: bool = False,
 ) -> Tuple[List[str], np.ndarray, np.ndarray]:
     """materialize_unitigs(_cov) with the heavy steps on device.
 
@@ -1193,12 +1205,33 @@ def materialize_unitigs_device(
 
     Returns (unitigs, occ_sums, n_kmers); the count arrays are empty when
     node_counts is None.
+
+    donate=True CONSUMES the graph's head/rank/is_cycle device buffers
+    (donated into the walk sort, saving 4.5 GB of sort headroom at chr1
+    scale); the caller must not touch ``graph`` afterwards.  The default
+    passes copies into the donating jit, trading that headroom for
+    caller safety.
     """
-    sid_s, chain_start, n_lin, n_cyc = _materialize_prep_sort(
-        jnp.asarray(valid), graph.head, graph.rank, graph.is_cycle
+    # the prep sort DONATES head/rank/is_cycle, so anything the cycle
+    # path needs must be read back BEFORE it runs (cycles are rare; the
+    # count itself is one cheap reduction)
+    valid_j = jnp.asarray(valid)
+    n_cyc = int(_count_cycle_nodes(valid_j, jnp.asarray(graph.is_cycle)))
+    next_np = head_np = cyc_states = None
+    if n_cyc:
+        next_np = np.asarray(graph.next_state)
+        head_np = np.asarray(graph.head)
+        cyc_states = np.flatnonzero(
+            np.asarray(graph.is_cycle) & np.repeat(np.asarray(valid), 2)
+        )
+    def _arm(x):
+        x = jnp.asarray(x)
+        return x if donate else jnp.array(x, copy=True)
+
+    sid_s, chain_start, n_lin, _ = _materialize_prep_sort(
+        valid_j, _arm(graph.head), _arm(graph.rank), _arm(graph.is_cycle)
     )
     n_lin = int(n_lin)  # hard sync: the sort pass's temporaries are freed
-    n_cyc = int(n_cyc)
     byte_s = _materialize_prep_bytes(
         jnp.asarray(khi), jnp.asarray(klo), sid_s, k=k
     )
@@ -1209,11 +1242,6 @@ def materialize_unitigs_device(
     cycle_sums: List[int] = []
     cycle_lens: List[int] = []
     if n_cyc:
-        next_np = np.asarray(graph.next_state)
-        head_np = np.asarray(graph.head)
-        cyc_states = np.flatnonzero(
-            np.asarray(graph.is_cycle) & np.repeat(np.asarray(valid), 2)
-        )
         cycle_strings, cycle_sums, cycle_lens = _materialize_cycles(
             next_np, head_np, cyc_states,
             _host_state_vals(khi_u, klo_u, k, cyc_states), k, node_counts,

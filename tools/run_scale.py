@@ -779,10 +779,22 @@ def main() -> int:
             # device-assisted: walk sort + byte extraction on chip, one
             # host placement pass; readback is 2 thin lanes + sorted ids
             # instead of the whole graph (517 s -> minutes at celegans
-            # scale)
-            unitigs, _, _ = dbg.materialize_unitigs_device(
-                khi, klo, valid, graph, K
-            )
+            # scale).  If the chip can't hold the walk sort next to the
+            # resident graph, fall back to the bucketed HOST materializer
+            # (slow readback, bounded host memory) rather than losing the
+            # whole run at its last phase.
+            try:
+                unitigs, _, _ = dbg.materialize_unitigs_device(
+                    khi, klo, valid, graph, K, donate=True
+                )
+            except Exception as exc:
+                if "RESOURCE_EXHAUSTED" not in str(exc):
+                    raise
+                emit("materialize_fallback", reason=str(exc)[:200])
+                unitigs = dbg.materialize_unitigs_partitioned(
+                    np.asarray(khi), np.asarray(klo), np.asarray(valid),
+                    graph, K,
+                )
         emit(
             "materialize",
             wall_s=round(time.perf_counter() - t0, 3),
