@@ -57,6 +57,16 @@ SHARD_AXIS = "shards"
 
 
 def _xchg(block):
+    # A tiled all_to_all over a singleton axis is the identity (split dim 0
+    # into one piece, concat it back).  Skip the primitive in that case:
+    # the degenerate 1-device collective crashed the TPU worker ("kernel
+    # fault") at 64M-state scale (runs/mid_part_r4.jsonl, --ext-mode
+    # part/wide), and the bypass keeps the honest one-chip memory profile
+    # (every block is still materialized and staged) without tripping the
+    # backend's collective lowering.  axis_size is static under shard_map,
+    # so multi-device meshes lower exactly as before.
+    if lax.axis_size(SHARD_AXIS) == 1:
+        return block
     return lax.all_to_all(block, SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True)
 
 

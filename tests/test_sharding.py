@@ -998,3 +998,79 @@ def test_distributed_read_ids_equal_single_device(mesh8):
     want = sorted((u, tuple(i.tolist())) for u, i in zip(su, sids))
     got = sorted((u, tuple(i.tolist())) for u, i in zip(du, dids))
     assert got == want
+
+
+def test_partitioned_engines_on_one_device_mesh():
+    """A singleton shards axis bypasses all_to_all in _xchg (the identity
+    by tiled-collective semantics); links join + jump, int32 AND wide,
+    must still equal the single-chip builders exactly.  This is the
+    run_scale --ext-mode part|wide configuration (the honest one-chip
+    memory profile) whose degenerate collective crashed the TPU worker at
+    64M states (runs/mid_part_r4.jsonl)."""
+    from genome_assembly_tpu.ops import dbg
+    from genome_assembly_tpu.parallel import part_dbg
+
+    mesh1 = mesh_lib.make_mesh(1)
+    k = 11
+    rng = np.random.default_rng(7)
+    genome = "".join(rng.choice(list("ACGT"), size=700))
+    keys = sorted(
+        {
+            min(
+                encode.pack_str(genome[i : i + k]),
+                encode.pack_str(
+                    genome[i : i + k].translate(str.maketrans("ACGT", "TGCA"))[::-1]
+                ),
+            )
+            for i in range(len(genome) - k + 1)
+        }
+    )
+    pad = 1024
+    n_lo = min(k, 16)
+    hi = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(pad, 0xFFFFFFFF, dtype=np.uint32)
+    valid = np.zeros(pad, dtype=bool)
+    for i, v in enumerate(keys):
+        hi[i] = v >> (2 * n_lo)
+        lo[i] = v & ((1 << (2 * n_lo)) - 1)
+        valid[i] = True
+    hi, lo, valid = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid)
+
+    want = np.asarray(dbg.build_unitig_links_join(hi, lo, valid, k=k))
+    got, ovf = part_dbg.partitioned_unitig_links_join(
+        hi, lo, valid, k=k, mesh=mesh1
+    )
+    assert int(np.sum(np.asarray(ovf))) == 0
+    assert np.array_equal(np.asarray(got), want)
+
+    no, nl, wovf = part_dbg.partitioned_unitig_links_join_wide(
+        hi, lo, valid, k=k, mesh=mesh1
+    )
+    assert int(np.sum(np.asarray(wovf))) == 0
+    flat = np.where(
+        np.asarray(no) >= 0,
+        np.asarray(no).astype(np.int64) * (2 * pad) + np.asarray(nl),
+        -1,
+    )
+    assert np.array_equal(flat, want.astype(np.int64))
+
+    want_g = dbg.pointer_jump(jnp.asarray(want))
+    got_g, jovf = part_dbg.partitioned_pointer_jump(
+        jnp.asarray(want), mesh=mesh1
+    )
+    assert int(np.sum(np.asarray(jovf))) == 0
+    assert np.array_equal(np.asarray(got_g.head), np.asarray(want_g.head))
+    assert np.array_equal(np.asarray(got_g.rank), np.asarray(want_g.rank))
+    assert np.array_equal(np.asarray(got_g.is_cycle), np.asarray(want_g.is_cycle))
+
+    wg, wjovf = part_dbg.partitioned_pointer_jump_wide(no, nl, mesh=mesh1)
+    assert int(np.sum(np.asarray(wjovf))) == 0
+    head = np.asarray(wg.head_owner).astype(np.int64) * (2 * pad) + np.asarray(
+        wg.head_local
+    )
+    assert np.array_equal(head, np.asarray(want_g.head).astype(np.int64))
+    assert np.array_equal(
+        np.asarray(wg.rank_lo), np.asarray(want_g.rank).astype(np.uint32)
+    )
+    assert not np.any(np.asarray(wg.rank_hi))
+    assert np.array_equal(np.asarray(wg.is_cycle), np.asarray(want_g.is_cycle))
