@@ -1258,10 +1258,23 @@ def materialize_unitigs_device(
         # thin-readback path: the ASCII byte lane is the only big
         # transfer.  Chain starts + head state ids come back compacted
         # (O(chains) ints); chain geometry is rebuilt from starts alone.
-        pos_s, sid_h, n_chains_dev = _materialize_prep_compact(
-            sid_s, chain_start
-        )
-        n_chains = int(n_chains_dev)
+        try:
+            pos_s, sid_h, n_chains_dev = _materialize_prep_compact(
+                sid_s, chain_start
+            )
+            n_chains = int(n_chains_dev)
+        except Exception as exc:
+            if "RESOURCE_EXHAUSTED" not in str(exc):
+                raise
+            # The compact OOM'd AFTER the (possibly donating) walk sort
+            # consumed the graph lanes, so the caller cannot rebuild and
+            # retry -- but sid_s/chain_start/byte_s are alive, which is
+            # everything the fat sid-readback placement (the coverage
+            # path below) needs.  Rescue there instead of losing a
+            # multi-hour run at its very last device step (chr1 round 4:
+            # runs/chr1_r4i.jsonl hit exactly this).
+            n_chains = -1
+    if node_counts is None and n_chains >= 0:
         starts = np.asarray(pos_s[:n_chains]).astype(np.int64)
         head_sids = np.asarray(sid_h[:n_chains])
         byte_np = np.asarray(byte_s[:n_lin])
@@ -1292,9 +1305,9 @@ def materialize_unitigs_device(
             cycle_strings, cycle_sums, cycle_lens,
         )
 
-    # coverage path: per-chain occurrence sums need int64 accumulation
-    # over every state's node counts (x64 is disabled on device), so the
-    # state-id lane readback stays
+    # coverage path (or the compact-OOM rescue above): per-chain sums
+    # need int64 accumulation over every state's node counts (x64 is
+    # disabled on device), so the state-id lane readback stays
     sid_np = np.asarray(sid_s)[:n_lin]
     byte_np = np.asarray(byte_s)[:n_lin]
     cs_np = np.asarray(chain_start)[:n_lin]
@@ -1319,10 +1332,13 @@ def materialize_unitigs_device(
     ns = ~cs_np
     buf[out_off[chain_id[ns]] + (k - 1) + local_i[ns]] = byte_np[ns]
 
-    node_counts = np.asarray(node_counts)
-    chain_sums = np.add.reduceat(
-        node_counts[sid_np >> 1].astype(np.int64), starts
-    )
+    if node_counts is None:
+        chain_sums = None  # rescue path: no coverage channel requested
+    else:
+        node_counts = np.asarray(node_counts)
+        chain_sums = np.add.reduceat(
+            node_counts[sid_np >> 1].astype(np.int64), starts
+        )
 
     return _canonical_chain_strings(
         buf.tobytes(), out_off, chain_lens, chain_sums,

@@ -691,3 +691,31 @@ def test_materialize_partitioned_matches_host():
             hi, lo, valid, g64, k, partitions=4
         ))
         assert got64 == want, k
+
+
+def test_materialize_device_compact_oom_rescue(monkeypatch):
+    """If _materialize_prep_compact RESOURCE_EXHAUSTs after the donating
+    walk sort consumed the graph lanes, materialize_unitigs_device must
+    rescue through the fat sid-readback placement and still return the
+    exact host result (chr1 r4i lost its end-to-end artifact to this:
+    the caller-side fallback found only deleted arrays)."""
+    rng = np.random.default_rng(23)
+    g = "".join(rng.choice(list("ACGT"), size=900))
+    k = 11
+    kmers = genome_kmers(g, k)
+    hi, lo, valid = _keys_arrays(kmers, k)
+    links = dbg.build_unitig_links_join(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid), k=k
+    )
+    graph = dbg.pointer_jump(links)
+    want = dbg.materialize_unitigs(hi, lo, valid, graph, k)
+
+    def boom(*a, **kw):
+        raise RuntimeError("RESOURCE_EXHAUSTED: forced by test")
+
+    monkeypatch.setattr(dbg, "_materialize_prep_compact", boom)
+    got, occ, nk = dbg.materialize_unitigs_device(
+        hi, lo, valid, graph, k, donate=True
+    )
+    assert got == want
+    assert occ.size == 0 and nk.size == 0

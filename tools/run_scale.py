@@ -791,10 +791,24 @@ def main() -> int:
                 if "RESOURCE_EXHAUSTED" not in str(exc):
                     raise
                 emit("materialize_fallback", reason=str(exc)[:200])
-                unitigs = dbg.materialize_unitigs_partitioned(
-                    np.asarray(khi), np.asarray(klo), np.asarray(valid),
-                    graph, K,
-                )
+                # donate=True consumed the graph lanes: the bucketed host
+                # fallback only works if the failure happened BEFORE the
+                # donating walk sort dispatched (later OOMs are rescued
+                # inside materialize_unitigs_device itself).  A deleted
+                # graph here means both device paths are spent -- record
+                # the failure and keep the run's stats instead of dying
+                # at the last phase (chr1 r4i lost its artifact this way).
+                if getattr(graph.head, "is_deleted", lambda: False)():
+                    emit("materialize_failed",
+                         reason="graph donated and deleted; " + str(exc)[:150])
+                    unitigs = None
+                else:
+                    unitigs = dbg.materialize_unitigs_partitioned(
+                        np.asarray(khi), np.asarray(klo), np.asarray(valid),
+                        graph, K,
+                    )
+        if unitigs is None:
+            return 0  # stats already emitted; the failure event is the record
         emit(
             "materialize",
             wall_s=round(time.perf_counter() - t0, 3),
