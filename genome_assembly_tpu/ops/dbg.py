@@ -1207,6 +1207,7 @@ def materialize_unitigs_device(
     node_counts is None.
 
     donate=True CONSUMES the graph's head/rank/is_cycle device buffers
+    and eagerly drops next_state (the cycle path reads it back first)
     (donated into the walk sort, saving 4.5 GB of sort headroom at chr1
     scale); the caller must not touch ``graph`` afterwards.  The default
     passes copies into the donating jit, trading that headroom for
@@ -1224,6 +1225,16 @@ def materialize_unitigs_device(
         cyc_states = np.flatnonzero(
             np.asarray(graph.is_cycle) & np.repeat(np.asarray(valid), 2)
         )
+    if donate:
+        # The donate contract already forbids the caller from touching
+        # ``graph`` afterwards; drop the next_state lane eagerly too (the
+        # cycle path read back what it needs above).  2 GB of walk-sort
+        # headroom at chr1 scale -- the compact step OOM'd next to it.
+        try:
+            graph.next_state.delete()
+        except AttributeError:
+            pass  # host numpy graphs have no device buffer to drop
+
     def _arm(x):
         x = jnp.asarray(x)
         return x if donate else jnp.array(x, copy=True)
