@@ -89,20 +89,37 @@ def super_records(codes: jnp.ndarray, lengths: jnp.ndarray, *, k: int, m: int):
     n_valid = jnp.maximum(lengths - k + 1, 0)[:, None]
     slen = jnp.clip(jnp.minimum(next_start, n_valid) - idx, 0, S_CAP)
 
-    # pack each record's first 64 bases from its start column: 55 static
-    # shifted slices of the zero-padded code rows, then 2-bit packing
+    # pack each record's first 64 bases from its start column.  NOT the
+    # obvious 55 statically-shifted slices fused into one 55-ary OR tree:
+    # that program never returned from the relay's remote TPU compile in
+    # three separate runs (runs/ecoli_super_r4.jsonl, humanchr_w[12]_r4,
+    # ecoli_super_r4i -- 20+ min each, zero events), while the plain
+    # path's identical fast_scan compiles in seconds.  A fori_loop of
+    # dynamic slices keeps the compiled program O(1) in span; the 2-bit
+    # shift rides the loop counter.  Output is bit-identical (pinned by
+    # the super-vs-plain differential tests).
     span = S_CAP + k - 1  # <= 55
     pad = jnp.zeros((batch, span), jnp.uint8)
     codes_pad = jnp.concatenate([codes, pad], axis=1)
-    sl = [codes_pad[:, off : off + n_win] for off in range(span)]
     lanes_b = []
     for i in range(4):
-        acc = jnp.zeros((batch, n_win), jnp.uint32)
-        for t in range(16):
-            b = 16 * i + t
-            if b < span:
-                acc = acc | (sl[b].astype(jnp.uint32) << (2 * t))
-        lanes_b.append(acc)
+        n_t = max(0, min(16, span - 16 * i))
+        if n_t == 0:
+            lanes_b.append(jnp.zeros((batch, n_win), jnp.uint32))
+            continue
+
+        def body(t, acc, _i=i):
+            col = lax.dynamic_slice(
+                codes_pad, (jnp.int32(0), jnp.int32(16 * _i) + t),
+                (batch, n_win),
+            )
+            return acc | jnp.left_shift(
+                col.astype(jnp.uint32), (2 * t).astype(jnp.uint32)
+            )
+
+        lanes_b.append(
+            lax.fori_loop(0, n_t, body, jnp.zeros((batch, n_win), jnp.uint32))
+        )
 
     is_rec = start & recs.valid
     out_mm = jnp.where(is_rec, mm, SENTINEL).reshape(-1)
