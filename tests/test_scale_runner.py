@@ -136,3 +136,20 @@ def test_scale_runner_part_range_division(tmp_path):
     ev_m, ev_f = count_event(merged.stdout), count_event(fresh.stdout)
     assert ev_m["distinct"] == ev_f["distinct"]
     assert ev_m["kept"] == ev_f["kept"]
+
+
+@pytest.mark.slow
+def test_small_preset_materialize_artifact():
+    """--materialize emits an artifact whose arithmetic closes exactly:
+    every kept k-mer appears in exactly one unitig once, so total_bp =
+    kept + unitigs*(k-1) and longest_bp = longest_chain + (k-1) (no
+    cycles in the small preset).  This is the invariant the chr1 run
+    demonstrated at 250 Mbp (runs/chr1_r4j.jsonl: 250,000,000 bp exact)."""
+    ev = _run("--partitions", "1", "--materialize")
+    k = ev["config"]["k"]
+    kept = _count_event(ev)["kept"]
+    m = ev["materialize"]
+    assert ev["extension"]["cyclic_states"] == 0
+    assert m["unitigs"] == ev["extension"]["linear_unitigs"]
+    assert m["total_bp"] == kept + m["unitigs"] * (k - 1)
+    assert m["longest_bp"] == ev["extension"]["longest_chain"] + (k - 1)
