@@ -691,8 +691,15 @@ def partitioned_count(
     return_host: bool = False,
     scan_chunk: int = 1,
     only_partitions: tuple | None = None,
+    on_progress: Callable[[int, int, int, int], None] | None = None,
 ) -> PartitionedCount:
     """Count n_batches record batches in ceil(P/G) re-scan passes.
+
+    on_progress(group, n_groups, batches_dispatched, n_batches) fires
+    after each extraction dispatch.  Dispatch is asynchronous, so this
+    reports how far the DISPATCH stream has advanced, not device
+    completion -- still the only liveness signal a chromosome-scale
+    pass (6,867 silent batches at humanchr) otherwise lacks.
 
     batch_keys(i) -> (hi, lo) flat uint32 key lanes for batch i (invalid =
     SENTINEL); called once per pass per batch, so it should be a cheap
@@ -899,6 +906,8 @@ def partitioned_count(
                 del ghis, glos  # free the stacked staging copy
                 ovf_dev = ovf_dev + ovf
                 b += n_scan
+                if on_progress is not None:
+                    on_progress(g, n_groups, b, n_batches)
         else:
             for b in range(n_batches):
                 hi, lo = batch_keys(b)
@@ -910,6 +919,8 @@ def partitioned_count(
                     pieces_hi[r].append(ghi[r])
                     pieces_lo[r].append(glo[r])
                 ovf_dev = ovf_dev + ovf.astype(jnp.int32)
+                if on_progress is not None:
+                    on_progress(g, n_groups, b + 1, n_batches)
         group_overflows = np.asarray(ovf_dev)
 
         def count_partition(p, cat_hi, cat_lo, pass_overflows):
@@ -1221,8 +1232,12 @@ def partitioned_count_super(
     return_host: bool = False,
     scan_chunk: int = 1,
     only_partitions: tuple | None = None,
+    on_progress: Callable[[int, int, int, int], None] | None = None,
 ) -> PartitionedCount:
     """Out-of-core counting over SUPER-K-MER records (ops/superkmer.py).
+
+    on_progress: as in :func:`partitioned_count` (dispatch-stream
+    liveness, fired after each extraction dispatch).
 
     only_partitions=(lo, hi): worker form of the multi-host pass
     division, exactly as in :func:`partitioned_count` (requires
@@ -1395,6 +1410,8 @@ def partitioned_count_super(
                 del lanes_s
                 ovf_dev = ovf_dev + ovf
                 b += n_scan
+                if on_progress is not None:
+                    on_progress(g, n_groups, b, n_batches)
         else:
             for b in range(n_batches):
                 lanes = batch_super(b)
@@ -1406,6 +1423,8 @@ def partitioned_count_super(
                     for j in range(6):
                         pieces[r][j].append(out[j][r])
                 ovf_dev = ovf_dev + out[6].astype(jnp.int32)
+                if on_progress is not None:
+                    on_progress(g, n_groups, b + 1, n_batches)
         group_overflows = np.asarray(ovf_dev)
 
         def count_super_partition(p, cat, pass_overflows):

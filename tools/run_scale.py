@@ -406,6 +406,20 @@ def main() -> int:
             lo_s, hi_s = args.part_range.split(":")
             part_range = (int(lo_s), int(hi_s))
         t0 = time.perf_counter()
+        _last_prog = [0.0]
+
+        def _progress(g, ng, b, nb):
+            # dispatch-stream liveness for multi-hour silent passes
+            # (humanchr: 6,867 batches/pass with no event until pass end)
+            now = time.monotonic()
+            if now - _last_prog[0] >= 60 or b >= nb:
+                _last_prog[0] = now
+                print(
+                    f"[progress] group {g + 1}/{ng} "
+                    f"dispatched {b}/{nb} batches",
+                    file=sys.stderr, flush=True,
+                )
+
         if args.super_records:
             from genome_assembly_tpu.ops import superkmer
 
@@ -435,6 +449,7 @@ def main() -> int:
                 return_host=args.park_keys,
                 scan_chunk=scan_chunk,
                 only_partitions=part_range,
+                on_progress=_progress,
             )
         else:
             emit("outofcore", partitions=partitions, part_range=part_range)
@@ -450,6 +465,7 @@ def main() -> int:
                 return_host=args.park_keys,
                 scan_chunk=scan_chunk,
                 only_partitions=part_range,
+                on_progress=_progress,
             )
         if part_range is not None:
             emit(
