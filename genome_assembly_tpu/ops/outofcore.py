@@ -410,9 +410,13 @@ def partitioned_count_parity(
     group_budget_bytes: int = 8 << 30,
     checkpoint_dir: str | None = None,
     with_streams: bool = False,
+    dataset_tag: str | None = None,
 ):
     """Out-of-core PARITY counting: the payload-carrying analogue of
     :func:`partitioned_count`.
+
+    dataset_tag: as in :func:`partitioned_count` (fingerprints the read
+    SOURCE, not just the batch geometry).
 
     batch_records(i) -> (mmer, khi, klo, rid, stream) flat uint32 lanes for
     batch i (SENTINEL mmer = invalid), regenerated per group pass
@@ -469,6 +473,8 @@ def partitioned_count_parity(
             "n_batches": n_batches,
             "batch_slots": batch_slots,
         }
+        if dataset_tag is not None:
+            fp["dataset"] = dataset_tag
         meta_path = ckpt / "meta_parity.json"
         if meta_path.exists():
             old = json.loads(meta_path.read_text())
@@ -692,8 +698,15 @@ def partitioned_count(
     scan_chunk: int = 1,
     only_partitions: tuple | None = None,
     on_progress: Callable[[int, int, int, int], None] | None = None,
+    dataset_tag: str | None = None,
 ) -> PartitionedCount:
     """Count n_batches record batches in ceil(P/G) re-scan passes.
+
+    dataset_tag: opaque caller string folded into the checkpoint
+    fingerprint (omitted from it when None, so older tag-less dirs stay
+    valid).  Callers whose batch CONTENT can vary under identical
+    (n_batches, batch_slots) -- e.g. run_scale's virtual vs materialized
+    genome reads -- must tag, or a resume would silently mix datasets.
 
     on_progress(group, n_groups, batches_dispatched, n_batches) fires
     after each extraction dispatch.  Dispatch is asynchronous, so this
@@ -796,6 +809,8 @@ def partitioned_count(
             "n_batches": n_batches,
             "batch_slots": batch_slots,
         }
+        if dataset_tag is not None:
+            fp["dataset"] = dataset_tag
         meta_path = ckpt / "meta.json"
         if meta_path.exists():
             old = json.loads(meta_path.read_text())
@@ -1233,8 +1248,12 @@ def partitioned_count_super(
     scan_chunk: int = 1,
     only_partitions: tuple | None = None,
     on_progress: Callable[[int, int, int, int], None] | None = None,
+    dataset_tag: str | None = None,
 ) -> PartitionedCount:
     """Out-of-core counting over SUPER-K-MER records (ops/superkmer.py).
+
+    dataset_tag: as in :func:`partitioned_count` (fingerprints the read
+    SOURCE, not just the batch geometry).
 
     on_progress: as in :func:`partitioned_count` (dispatch-stream
     liveness, fired after each extraction dispatch).
@@ -1315,6 +1334,8 @@ def partitioned_count_super(
             "n_batches": n_batches,
             "batch_slots": batch_slots,
         }
+        if dataset_tag is not None:
+            fp["dataset"] = dataset_tag
         meta_path = ckpt / "meta.json"
         if meta_path.exists():
             old = json.loads(meta_path.read_text())

@@ -84,17 +84,36 @@ def _pack_by_owner(owner, active, payloads, fills, n_shards, cap):
     sorted_ops = lax.sort((key, idx) + tuple(payloads), num_keys=1, is_stable=True)
     key_s, idx_s = sorted_ops[0], sorted_ops[1]
     pay_s = sorted_ops[2:]
-    first = jnp.searchsorted(key_s, key_s, side="left")
+    # run start via cummax over group-start positions -- NOT
+    # searchsorted(key_s, key_s): the q-query binary search is log2(q)
+    # gather rounds over the whole array (~27 x 140M elem/s at mid
+    # scale), and it plus the 2D capacity scatter below were the only
+    # primitives of this program family never proven on chip when the
+    # 64M-state links join kernel-faulted (runs/mid_part_r4k.jsonl).
+    gs = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    first = lax.associative_scan(jnp.maximum, jnp.where(gs, idx, -1))
     slot = idx - first
     in_range = key_s < n_shards
     ok = (slot < cap) & in_range
     overflow = jnp.sum((slot >= cap) & in_range).astype(jnp.int32)
     o = jnp.where(ok, key_s.astype(jnp.int32), n_shards)
     s = jnp.where(ok, slot, 0)
+    # gather-form block fill: run j occupies sorted rows
+    # [starts[j], starts[j+1]), so block[j][c] = pay_s[starts[j] + c]
+    # when in range.  Equivalent to the scatter buf.at[o, s].set(p)
+    # (records are placed in identical slot order) with no scatter and
+    # no [q, 2] index materialization -- flat/2D-iota shapes only (the
+    # r4 tiling-padding lesson: keep per-record lanes flat).
+    shard_ids = jnp.arange(n_shards + 1, dtype=key_s.dtype)
+    starts = jnp.searchsorted(key_s, shard_ids, side="left").astype(jnp.int32)
+    jj = lax.broadcasted_iota(jnp.int32, (n_shards, cap), 0)
+    cc = lax.broadcasted_iota(jnp.int32, (n_shards, cap), 1)
+    src = starts[jj] + cc
+    val = src < starts[jj + 1]
+    src = jnp.clip(src, 0, q - 1)
     blocks = []
     for p, fill in zip(pay_s, fills):
-        buf = jnp.full((n_shards, cap), fill, dtype=p.dtype)
-        blocks.append(buf.at[o, s].set(p, mode="drop"))
+        blocks.append(jnp.where(val, p[src], jnp.asarray(fill, p.dtype)))
     return blocks, (o, s, ok, idx_s), overflow
 
 

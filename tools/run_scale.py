@@ -181,8 +181,11 @@ def main() -> int:
         help="derive read bases directly from (seed, position) with a "
         "counter hash (ops/vgenome.py) instead of materializing the "
         "genome on device -- no regeneration cost on resume windows and "
-        "no genome HBM residency.  Default: on at >= 1 Gbp, off below "
-        "(so smaller presets' banked artifacts stay dataset-comparable)",
+        "no genome HBM residency.  Default: on for every chip run (a "
+        "slow relay window turned the mid genome step into 697 s and "
+        "ate the ecoli-super window entirely, runs/mid_part_r4k.jsonl / "
+        "ecoli_super_r4k.err); off on --cpu where generation is cheap "
+        "and old goldens compare",
     )
     ap.add_argument(
         "--scan-chunk",
@@ -257,14 +260,21 @@ def main() -> int:
     # --virtual-genome: derive read bases directly from (seed, position)
     # with the counter hash (ops/vgenome.py) -- no genome materialization
     # (1,570 s cold per humanchr resume window), no 3 GB residency, no
-    # per-batch row gather.  Default on at 3 Gbp where all three costs
-    # burned the round-3 fraction windows; the smaller presets keep the
-    # materialized genome so their banked artifacts stay comparable.
+    # per-batch row gather.  Default on for EVERY chip run (round-4
+    # lesson: a fixed-cost preamble with 300x relay wall variance is the
+    # wrong way to spend 20-minute windows -- mid paid 697 s, the ecoli
+    # super window died to it, VERDICT r4 weak #5); --cpu keeps the
+    # materialized genome so old goldens stay dataset-comparable.
     use_virtual = args.virtual_genome
     if use_virtual is None:
-        use_virtual = cfg["genome_len"] >= 1_000_000_000
+        use_virtual = not args.cpu
     if use_virtual:
         from genome_assembly_tpu.ops import vgenome
+    # read CONTENT depends on the source (virtual counter-hash vs
+    # materialized jax.random genome) under identical batch geometry;
+    # the checkpoint fingerprint must tell them apart or a resume mixes
+    # datasets silently (round-5 hazard created by the new chip default)
+    dataset_tag = f"{'vg' if use_virtual else 'gen'}-seed{args.seed}"
 
     def sample_starts(kb):
         if G - read_len < (1 << 31):
@@ -450,6 +460,7 @@ def main() -> int:
                 scan_chunk=scan_chunk,
                 only_partitions=part_range,
                 on_progress=_progress,
+                dataset_tag=dataset_tag,
             )
         else:
             emit("outofcore", partitions=partitions, part_range=part_range)
@@ -466,6 +477,7 @@ def main() -> int:
                 scan_chunk=scan_chunk,
                 only_partitions=part_range,
                 on_progress=_progress,
+                dataset_tag=dataset_tag,
             )
         if part_range is not None:
             emit(
@@ -814,7 +826,17 @@ def main() -> int:
                 # graph here means both device paths are spent -- record
                 # the failure and keep the run's stats instead of dying
                 # at the last phase (chr1 r4i lost its artifact this way).
-                if getattr(graph.head, "is_deleted", lambda: False)():
+                # donate=True eagerly deletes next_state BEFORE the walk
+                # sort dispatches, so a compile-time OOM can leave head
+                # alive with next_state already gone -- the partitioned
+                # fallback would then crash on np.asarray of a deleted
+                # buffer if the graph has cycles (ADVICE r4).  Any
+                # deleted lane means the device graph is spent.
+                spent = any(
+                    getattr(lane, "is_deleted", lambda: False)()
+                    for lane in (graph.head, graph.next_state)
+                )
+                if spent:
                     emit("materialize_failed",
                          reason="graph donated and deleted; " + str(exc)[:150])
                     unitigs = None
@@ -824,7 +846,9 @@ def main() -> int:
                         graph, K,
                     )
         if unitigs is None:
-            return 0  # stats already emitted; the failure event is the record
+            # distinct rc: drive scripts must see a missing --materialize
+            # artifact without parsing the event stream (ADVICE r4)
+            return 3
         emit(
             "materialize",
             wall_s=round(time.perf_counter() - t0, 3),
