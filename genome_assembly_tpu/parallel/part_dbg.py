@@ -235,8 +235,15 @@ def _routed_gather(tables, parent, *, rows, n_shards, cap):
     act = gs & ~is_local
     acti = act.astype(jnp.int32)
     c = jnp.cumsum(acti)
-    owner_first = jnp.searchsorted(owner, owner, side="left")
-    slot = c - 1 - (c[owner_first] - acti[owner_first])
+    # actives-before-this-owner's-run, propagated from each run start by
+    # cummax (before = exclusive cumsum is non-decreasing, so the latest
+    # run start wins) -- replaces searchsorted(owner, owner), a log2(q)
+    # gather-round binary search re-run EVERY doubling round
+    gso = jnp.concatenate([jnp.ones((1,), bool), owner[1:] != owner[:-1]])
+    run_before = lax.associative_scan(
+        jnp.maximum, jnp.where(gso, c - acti, -1)
+    )
+    slot = c - 1 - run_before
     ok = act & (slot < cap)
     overflow = jnp.sum(act & (slot >= cap)).astype(jnp.int32)
     o = jnp.where(ok, owner, n_shards)
@@ -895,8 +902,12 @@ def _routed_gather_wide(tables, par_o, par_l, *, rows, n_shards, cap):
     act = gs & ~is_local
     acti = act.astype(jnp.int32)
     c = jnp.cumsum(acti)
-    owner_first = jnp.searchsorted(o_s, o_s, side="left")
-    slot = c - 1 - (c[owner_first] - acti[owner_first])
+    # scan-form run-start (see _routed_gather): no q-query searchsorted
+    gso = jnp.concatenate([jnp.ones((1,), bool), o_s[1:] != o_s[:-1]])
+    run_before = lax.associative_scan(
+        jnp.maximum, jnp.where(gso, c - acti, -1)
+    )
+    slot = c - 1 - run_before
     ok = act & (slot < cap)
     overflow = jnp.sum(act & (slot >= cap)).astype(jnp.int32)
     o = jnp.where(ok, o_s, n_shards)

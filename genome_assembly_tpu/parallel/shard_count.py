@@ -139,7 +139,13 @@ def _bucketize_records(
         return owner_s, payload, jnp.zeros((), jnp.int32)
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    first_of_owner = jnp.searchsorted(owner_s, owner_s, side="left")
+    # run-start via cummax over group-start positions -- searchsorted
+    # (owner_s, owner_s) is a log2(n) gather-round binary search over
+    # the whole record array (part_dbg._pack_by_owner has the story)
+    gso = jnp.concatenate([jnp.ones((1,), bool), owner_s[1:] != owner_s[:-1]])
+    first_of_owner = lax.associative_scan(
+        jnp.maximum, jnp.where(gso, idx, -1)
+    )
     slot = idx - first_of_owner
     ok = (slot < cap) & (owner_s < n_shards)
     overflow = jnp.sum((slot >= cap) & (owner_s < n_shards), dtype=jnp.int32)

@@ -59,7 +59,11 @@ def _bucket_exchange(lanes, bucket, n_buckets, cap, axis_name, fills=None):
     bucket_s, lanes_s = order[0], order[1:]
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    first_of = jnp.searchsorted(bucket_s, bucket_s, side="left")
+    # scan-form run-start (see part_dbg._pack_by_owner): no q-query search
+    gsb = jnp.concatenate(
+        [jnp.ones((1,), bool), bucket_s[1:] != bucket_s[:-1]]
+    )
+    first_of = lax.associative_scan(jnp.maximum, jnp.where(gsb, idx, -1))
     slot = idx - first_of
     real = bucket_s < n_buckets
     ok = (slot < cap) & real
