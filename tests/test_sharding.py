@@ -1074,3 +1074,50 @@ def test_partitioned_engines_on_one_device_mesh():
     )
     assert not np.any(np.asarray(wg.rank_hi))
     assert np.array_equal(np.asarray(wg.is_cycle), np.asarray(want_g.is_cycle))
+
+
+def test_pack_by_owner_matches_numpy_oracle():
+    """The gather-form capacity pack (round-5 rewrite) must place records
+    exactly like the original scatter form: block[j][c] = the c-th record
+    (in stable sorted order) whose owner is j, fills elsewhere, and the
+    overflow counter = records past cap in any run."""
+    from genome_assembly_tpu.parallel.part_dbg import _pack_by_owner
+
+    rng = np.random.default_rng(7)
+    q, n_shards, cap = 4096, 8, 40  # cap tight enough to force overflow
+    owner = rng.integers(0, n_shards, size=q).astype(np.int32)
+    active = rng.random(q) < 0.8
+    pay_a = rng.integers(0, 2**31, size=q).astype(np.uint32)
+    pay_b = rng.integers(0, 2**31, size=q).astype(np.int32)
+
+    blocks, (o, s, ok, idx_s), ovf = jax.jit(
+        _pack_by_owner, static_argnums=(4, 5)
+    )(
+        jnp.asarray(owner), jnp.asarray(active),
+        (jnp.asarray(pay_a), jnp.asarray(pay_b)),
+        (np.uint32(0xFFFFFFFF), np.int32(-1)),
+        n_shards, cap,
+    )
+
+    exp_a = np.full((n_shards, cap), 0xFFFFFFFF, np.uint32)
+    exp_b = np.full((n_shards, cap), -1, np.int32)
+    exp_ovf = 0
+    for j in range(n_shards):
+        rows = np.flatnonzero((owner == j) & active)  # original order ==
+        # stable sort order within one owner
+        exp_ovf += max(0, rows.size - cap)
+        take = rows[:cap]
+        exp_a[j, : take.size] = pay_a[take]
+        exp_b[j, : take.size] = pay_b[take]
+    assert exp_ovf > 0, "fixture must exercise the overflow path"
+    np.testing.assert_array_equal(np.asarray(blocks[0]), exp_a)
+    np.testing.assert_array_equal(np.asarray(blocks[1]), exp_b)
+    assert int(ovf) == exp_ovf
+    # bookkeeping addresses answers coming back at [o, s]: placed rows
+    # (ok) must point at the block slot holding their own payload
+    o_np, s_np, ok_np, idx_np = (np.asarray(x) for x in (o, s, ok, idx_s))
+    placed = np.flatnonzero(ok_np)
+    np.testing.assert_array_equal(
+        np.asarray(blocks[0])[o_np[placed], s_np[placed]],
+        pay_a[idx_np[placed]],
+    )
