@@ -56,18 +56,41 @@ SHARD_AXIS = "shards"
 # ---------------------------------------------------------------------------
 
 
-def _xchg(block):
+def _xchg(block, n_shards):
     # A tiled all_to_all over a singleton axis is the identity (split dim 0
     # into one piece, concat it back).  Skip the primitive in that case:
-    # the degenerate 1-device collective crashed the TPU worker ("kernel
-    # fault") at 64M-state scale (runs/mid_part_r4.jsonl, --ext-mode
-    # part/wide), and the bypass keeps the honest one-chip memory profile
-    # (every block is still materialized and staged) without tripping the
-    # backend's collective lowering.  axis_size is static under shard_map,
-    # so multi-device meshes lower exactly as before.
-    if lax.axis_size(SHARD_AXIS) == 1:
+    # the 1-device measurement path keeps the honest one-chip memory
+    # profile (every block is still materialized and staged) without any
+    # collective -- and with n_shards passed STATICALLY the body needs no
+    # axis context at all, so it can run under plain jit, outside
+    # shard_map and the SPMD partitioner (whose 1-device compile SIGKILLs
+    # the relay's AOT helper -- round-5 bisect, runs/bisect_r5a.err).
+    if n_shards == 1:
         return block
     return lax.all_to_all(block, SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True)
+
+
+def _axidx(n_shards):
+    """This shard's index; a static 0 on a 1-device mesh (no axis env)."""
+    if n_shards == 1:
+        return jnp.int32(0)
+    return lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+
+
+def _spmd(body, *, mesh, in_specs, out_specs):
+    """jax.shard_map, except a 1-device mesh runs ``body`` directly.
+
+    The routing bodies are axis-free at n_shards == 1 (_xchg and _axidx
+    take the shard count statically), so the degenerate mesh needs no
+    axis env -- and the SPMD partitioner's 1-device compile of this
+    program family SIGKILLs the relay's AOT compile helper (round-5
+    bisect, runs/bisect_r5a.err), so it must not be in the path.  The
+    body sees the full arrays as its local shard (rows == n) and returns
+    the same [1, ...]-leading shapes; multi-device meshes are untouched.
+    """
+    if mesh.shape[SHARD_AXIS] == 1:
+        return body
+    return jax.shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
 def _pack_by_owner(owner, active, payloads, fills, n_shards, cap):
@@ -122,7 +145,7 @@ def _unpack_answers(ans_blocks, bookkeeping, q, misses, n_shards):
     o, s, ok, idx_s = bookkeeping
     outs = []
     for a, miss in zip(ans_blocks, misses):
-        back = _xchg(a)
+        back = _xchg(a, n_shards)
         got = back[jnp.clip(o, 0, n_shards - 1), s]
         got = jnp.where(ok, got, miss)
         out = jnp.full((q,), miss, dtype=back.dtype)
@@ -170,9 +193,9 @@ def _build_hash_table(khi_l, klo_l, valid_l, *, base, n_shards, cap):
         n_shards,
         cap,
     )
-    r_khi = _xchg(blocks[0]).reshape(-1)
-    r_klo = _xchg(blocks[1]).reshape(-1)
-    r_gidx = _xchg(blocks[2]).reshape(-1)
+    r_khi = _xchg(blocks[0], n_shards).reshape(-1)
+    r_klo = _xchg(blocks[1], n_shards).reshape(-1)
+    r_gidx = _xchg(blocks[2], n_shards).reshape(-1)
     hkhi, hklo, hgidx = lax.sort((r_khi, r_klo, r_gidx), num_keys=2)
     return hkhi, hklo, hgidx, overflow
 
@@ -186,7 +209,7 @@ def _routed_lookup(hkhi, hklo, hgidx, qhi, qlo, active, *, n_shards, cap):
     Returns (global_idx[q], overflow).
     """
     owner = _key_owner(qhi, qlo, n_shards)
-    me = lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+    me = _axidx(n_shards)
     is_local = owner == me
 
     def answer(xhi, xlo):
@@ -203,8 +226,8 @@ def _routed_lookup(hkhi, hklo, hgidx, qhi, qlo, active, *, n_shards, cap):
         n_shards,
         cap,
     )
-    r_qhi = _xchg(blocks[0]).reshape(-1)
-    r_qlo = _xchg(blocks[1]).reshape(-1)
+    r_qhi = _xchg(blocks[0], n_shards).reshape(-1)
+    r_qlo = _xchg(blocks[1], n_shards).reshape(-1)
     glob = answer(r_qhi, r_qlo).astype(jnp.int32)
     (ans,) = _unpack_answers(
         [glob.reshape(n_shards, cap)], bk, qhi.shape[0], (jnp.int32(-1),), n_shards
@@ -220,7 +243,7 @@ def _routed_gather(tables, parent, *, rows, n_shards, cap):
     indices, all in range.  Returns (list of gathered [q] arrays, overflow).
     """
     q = parent.shape[0]
-    base = lax.axis_index(SHARD_AXIS).astype(jnp.int32) * rows
+    base = _axidx(n_shards) * rows
     idx = jnp.arange(q, dtype=jnp.int32)
     par_s, idx_s = lax.sort((parent, idx), num_keys=1, is_stable=True)
     gs = jnp.concatenate(
@@ -251,13 +274,13 @@ def _routed_gather(tables, parent, *, rows, n_shards, cap):
     qbuf = jnp.full((n_shards, cap), -1, dtype=jnp.int32)
     qbuf = qbuf.at[o, s].set(par_s, mode="drop")
 
-    recv = _xchg(qbuf).reshape(-1)
+    recv = _xchg(qbuf, n_shards).reshape(-1)
     loc = jnp.clip(recv - base, 0, rows - 1)
     # pack the local tables once: row gathers cost like single-lane ones
     # (per-row scalar-core bound, tools/bench_gather2.py)
     tstack = jnp.stack(tables, axis=1)  # [rows, T]
     got = jnp.where(recv[:, None] >= 0, tstack[loc], 0)  # [n_shards*cap, T]
-    back = _xchg(got.reshape(n_shards, cap, -1))
+    back = _xchg(got.reshape(n_shards, cap, -1), n_shards)
 
     head_pos = lax.associative_scan(
         jnp.maximum, jnp.where(gs, idx, -1)
@@ -304,7 +327,7 @@ def _candidates(ohi, olo, *, k):
 
 def _links_body(khi_l, klo_l, valid_l, *, k, n_shards, rows, cap, cap_tab):
     """Per-shard: links for this shard's 2*rows states, all lookups routed."""
-    base = lax.axis_index(SHARD_AXIS).astype(jnp.int32) * rows
+    base = _axidx(n_shards) * rows
 
     hkhi, hklo, hgidx, ovf_tab = _build_hash_table(
         khi_l, klo_l, valid_l, base=base, n_shards=n_shards, cap=cap_tab
@@ -411,7 +434,7 @@ def partitioned_unitig_links(
     # one-time table redistribution: rows keys hash-spread over owners
     cap_tab = max(1, int(np.ceil(rows / n_shards * slack)))
 
-    fn = jax.shard_map(
+    fn = _spmd(
         functools.partial(
             _links_body, k=k, n_shards=n_shards, rows=rows, cap=cap,
             cap_tab=cap_tab,
@@ -512,7 +535,7 @@ def _links_join_body(
     No table lookups anywhere: ~100x cheaper than the binary-search bodies
     above at scale (NOTES.md gather-vs-sort measurements).
     """
-    base_node = lax.axis_index(SHARD_AXIS).astype(jnp.int32) * rows
+    base_node = _axidx(n_shards) * rows
     # iota arithmetic, not repeat/tile: their [rows, 2]
     # broadcasts tile-pad 2 -> 128 if materialized (the AOT
     # OOM class of dbg._materialize_prep_sort)
@@ -530,9 +553,9 @@ def _links_join_body(
         owner, active, (key_hi, key_lo, payload), (sent, sent, sent),
         n_shards, cap_rec,
     )
-    r_khi = _xchg(blocks[0]).reshape(-1)
-    r_klo = _xchg(blocks[1]).reshape(-1)
-    r_pay = _xchg(blocks[2]).reshape(-1)
+    r_khi = _xchg(blocks[0], n_shards).reshape(-1)
+    r_klo = _xchg(blocks[1], n_shards).reshape(-1)
+    r_pay = _xchg(blocks[2], n_shards).reshape(-1)
 
     edge, state_s, target = _pair_edges(r_khi, r_klo, r_pay)
 
@@ -543,8 +566,8 @@ def _links_join_body(
         home, edge, (state_s, target), (jnp.int32(-1), jnp.int32(-1)),
         n_shards, cap_edge,
     )
-    b_src = _xchg(eblocks[0]).reshape(-1)
-    b_dst = _xchg(eblocks[1]).reshape(-1)
+    b_src = _xchg(eblocks[0], n_shards).reshape(-1)
+    b_dst = _xchg(eblocks[1], n_shards).reshape(-1)
     base_state = 2 * base_node
     next_l = jnp.full(2 * rows, -1, dtype=jnp.int32)
     loc = jnp.where(b_src >= 0, b_src - base_state, 2 * rows)
@@ -587,7 +610,7 @@ def partitioned_unitig_links_join(
     # at most one edge per state routed home
     cap_edge = max(1, int(np.ceil(2 * rows / n_shards * slack)))
 
-    fn = jax.shard_map(
+    fn = _spmd(
         functools.partial(
             _links_join_body, k=k, n_shards=n_shards, rows=rows,
             cap_rec=cap_rec, cap_edge=cap_edge,
@@ -606,7 +629,7 @@ def partitioned_unitig_links_join(
 
 
 def _jump_body(next_l, *, n2, n_shards, rows2, cap, steps):
-    base = lax.axis_index(SHARD_AXIS).astype(jnp.int32) * rows2
+    base = _axidx(n_shards) * rows2
     gids = base + jnp.arange(rows2, dtype=jnp.int32)
 
     # --- predecessor table: route (dest=next, src=gid) to dest's owner ---
@@ -623,8 +646,8 @@ def _jump_body(next_l, *, n2, n_shards, rows2, cap, steps):
         n_shards,
         cap,
     )
-    r_dest = _xchg(blocks[0]).reshape(-1)
-    r_src = _xchg(blocks[1]).reshape(-1)
+    r_dest = _xchg(blocks[0], n_shards).reshape(-1)
+    r_src = _xchg(blocks[1], n_shards).reshape(-1)
     pred_l = jnp.full(rows2, -1, dtype=jnp.int32)
     # in-degree <= 1 => destinations are globally unique
     loc_local = jnp.where(is_local, dest - base, rows2)
@@ -680,7 +703,7 @@ def partitioned_pointer_jump(
     steps = max(1, int(np.ceil(np.log2(max(n2, 2)))) + 1)
     cap = max(1, int(np.ceil(rows2 / n_shards * slack)))
 
-    fn = jax.shard_map(
+    fn = _spmd(
         functools.partial(
             _jump_body,
             n2=n2,
@@ -783,9 +806,9 @@ def _links_join_body_wide(
         owner, active, (key_hi, key_lo, payload), (sent, sent, sent),
         n_shards, cap_rec,
     )
-    r_khi = _xchg(blocks[0]).reshape(-1)
-    r_klo = _xchg(blocks[1]).reshape(-1)
-    r_pay = _xchg(blocks[2]).reshape(-1)
+    r_khi = _xchg(blocks[0], n_shards).reshape(-1)
+    r_klo = _xchg(blocks[1], n_shards).reshape(-1)
+    r_pay = _xchg(blocks[2], n_shards).reshape(-1)
     r_own = _src_owner_lanes(n_shards, cap_rec, jnp.uint32)
 
     # sort by (key, side|lid, src shard): OUT rows precede IN rows within a
@@ -828,9 +851,9 @@ def _links_join_body_wide(
         (jnp.int32(-1), jnp.int32(-1), jnp.int32(-1)),
         n_shards, cap_edge,
     )
-    b_src = _xchg(eblocks[0]).reshape(-1)
-    b_to = _xchg(eblocks[1]).reshape(-1)
-    b_tl = _xchg(eblocks[2]).reshape(-1)
+    b_src = _xchg(eblocks[0], n_shards).reshape(-1)
+    b_to = _xchg(eblocks[1], n_shards).reshape(-1)
+    b_tl = _xchg(eblocks[2], n_shards).reshape(-1)
     next_o = jnp.full(2 * rows, -1, dtype=jnp.int32)
     next_ll = jnp.full(2 * rows, -1, dtype=jnp.int32)
     loc = jnp.where(b_src >= 0, b_src, 2 * rows)
@@ -866,7 +889,7 @@ def partitioned_unitig_links_join_wide(
     cap_rec = max(1, int(np.ceil(4 * rows / n_shards * slack)))
     cap_edge = max(1, int(np.ceil(2 * rows / n_shards * slack)))
 
-    fn = jax.shard_map(
+    fn = _spmd(
         functools.partial(
             _links_join_body_wide, k=k, n_shards=n_shards, rows=rows,
             cap_rec=cap_rec, cap_edge=cap_edge,
@@ -888,7 +911,7 @@ def _routed_gather_wide(tables, par_o, par_l, *, rows, n_shards, cap):
     par_l: [q] wide indices, all valid.  Returns ([q] arrays, overflow).
     """
     q = par_o.shape[0]
-    me = lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+    me = _axidx(n_shards)
     idx = jnp.arange(q, dtype=jnp.int32)
     o_s, l_s, idx_s = lax.sort((par_o, par_l, idx), num_keys=2, is_stable=True)
     gs = jnp.concatenate(
@@ -915,11 +938,11 @@ def _routed_gather_wide(tables, par_o, par_l, *, rows, n_shards, cap):
     qbuf = jnp.full((n_shards, cap), -1, dtype=jnp.int32)
     qbuf = qbuf.at[o, s].set(l_s, mode="drop")
 
-    recv = _xchg(qbuf).reshape(-1)
+    recv = _xchg(qbuf, n_shards).reshape(-1)
     loc = jnp.clip(recv, 0, rows - 1)
     tstack = jnp.stack(tables, axis=1)  # [rows, T]
     got = jnp.where(recv[:, None] >= 0, tstack[loc], 0)
-    back = _xchg(got.reshape(n_shards, cap, -1))
+    back = _xchg(got.reshape(n_shards, cap, -1), n_shards)
 
     head_pos = lax.associative_scan(jnp.maximum, jnp.where(gs, idx, -1))
     loc_q = jnp.clip(l_s, 0, rows - 1)
@@ -933,7 +956,7 @@ def _routed_gather_wide(tables, par_o, par_l, *, rows, n_shards, cap):
 
 
 def _jump_body_wide(next_o_l, next_l_l, *, n_shards, rows2, cap, steps):
-    me = lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+    me = _axidx(n_shards)
     lids = jnp.arange(rows2, dtype=jnp.int32)
 
     # --- predecessor table: route (dest_local, src_local) to dest owner ---
@@ -947,8 +970,8 @@ def _jump_body_wide(next_o_l, next_l_l, *, n_shards, rows2, cap, steps):
         n_shards,
         cap,
     )
-    r_dl = _xchg(blocks[0]).reshape(-1)
-    r_sl = _xchg(blocks[1]).reshape(-1)
+    r_dl = _xchg(blocks[0], n_shards).reshape(-1)
+    r_sl = _xchg(blocks[1], n_shards).reshape(-1)
     r_so = _src_owner_lanes(n_shards, cap)
     pred_o = jnp.full(rows2, -1, dtype=jnp.int32)
     pred_l = jnp.full(rows2, -1, dtype=jnp.int32)
@@ -1039,7 +1062,7 @@ def partitioned_pointer_jump_wide(
     steps = max(1, int(np.ceil(np.log2(max(n2, 2)))) + 1)
     cap = max(1, int(np.ceil(rows2 / n_shards * slack)))
 
-    fn = jax.shard_map(
+    fn = _spmd(
         functools.partial(
             _jump_body_wide,
             n_shards=n_shards,

@@ -150,8 +150,8 @@ def main():
                     owner, active, (dest, gids),
                     (jnp.int32(-1), jnp.int32(-1)), n_shards, cap,
                 )
-                r_dest = part_dbg._xchg(blocks[0]).reshape(-1)
-                r_src = part_dbg._xchg(blocks[1]).reshape(-1)
+                r_dest = part_dbg._xchg(blocks[0], n_shards).reshape(-1)
+                r_src = part_dbg._xchg(blocks[1], n_shards).reshape(-1)
                 pred_l = jnp.full(rows2, -1, dtype=jnp.int32)
                 loc_local = jnp.where(is_local, dest - base, rows2)
                 pred_l = pred_l.at[loc_local].set(
@@ -170,10 +170,71 @@ def main():
         return 0
 
     khi, klo, valid = synth_keys(n)
-    khi.block_until_ready()
+    # relay hazard: block_until_ready does not sync; only readback does
+    print(json.dumps({"stage": stage, "nodes": n, "phase": "gen_done",
+                      "khi0": int(np.asarray(khi[:1])[0])}), flush=True)
     gen_s = time.perf_counter() - t_gen
 
     t0 = time.perf_counter()
+    if stage.startswith("sort") or stage in ("scan", "iotafill"):
+        # micro-stages: isolate _pack_by_owner's constituent primitives.
+        #   sort5s  5-operand num_keys=1 is_stable=True   (the pack sort)
+        #   sort5u  5-operand num_keys=1 unstable
+        #   sort4s  4-operand num_keys=1 stable
+        #   sort3k  4-operand num_keys=3 unstable         (the in-core mix)
+        #   scan    associative_scan cummax over 4R
+        #   iotafill 2D-iota gather block fill over 4R
+        # suffix "j" = plain jit (no shard_map): sort5sj etc.
+        base = stage.rstrip("j")
+        wrap_smap = not stage.endswith("j")
+        q = 4 * rows
+
+        def micro(khi_l, klo_l, valid_l):
+            owner = jnp.zeros((q,), jnp.uint32)
+            idx = jnp.arange(q, dtype=jnp.int32)
+            kh = jnp.tile(khi_l, 4)
+            kl = jnp.tile(klo_l, 4)
+            pay = idx.astype(jnp.uint32)
+            if base == "sort5s":
+                outs = lax.sort((owner, idx, kh, kl, pay), num_keys=1,
+                                is_stable=True)
+            elif base == "sort5u":
+                outs = lax.sort((owner, idx, kh, kl, pay), num_keys=1,
+                                is_stable=False)
+            elif base == "sort4s":
+                outs = lax.sort((owner, idx, kh, kl), num_keys=1,
+                                is_stable=True)
+            elif base == "sort3k":
+                outs = lax.sort((kh, kl, pay, idx), num_keys=3)
+            elif base == "scan":
+                gs = jnp.concatenate(
+                    [jnp.ones((1,), bool), kh[1:] != kh[:-1]])
+                outs = (lax.associative_scan(
+                    jnp.maximum, jnp.where(gs, idx, -1)),)
+            elif base == "iotafill":
+                starts = jnp.searchsorted(
+                    kh, jnp.arange(2, dtype=kh.dtype), side="left"
+                ).astype(jnp.int32)
+                jj = lax.broadcasted_iota(jnp.int32, (1, q), 0)
+                cc = lax.broadcasted_iota(jnp.int32, (1, q), 1)
+                src = jnp.clip(starts[jj] + cc, 0, q - 1)
+                outs = (jnp.where(src < starts[jj + 1], kh[src],
+                                  jnp.uint32(0)),)
+            else:
+                raise SystemExit(f"unknown micro stage {stage}")
+            s = sum(jnp.sum(o.astype(jnp.uint32)).astype(jnp.uint32)
+                    for o in outs)
+            return (s[None],)
+
+        if wrap_smap:
+            fn = smap(micro, 1)
+        else:
+            fn = jax.jit(micro)
+        (s,) = fn(khi, klo, valid)
+        chk = int(np.asarray(s)[0])
+        emit(wall_s=round(time.perf_counter() - t0, 3),
+             gen_s=round(gen_s, 3), checksum=chk)
+        return 0
     if stage == "incore":
         links = dbg.build_unitig_links_join(khi, klo, valid, k=K)
         chk = int(jnp.sum((links >= 0).astype(jnp.int64)))
@@ -239,9 +300,9 @@ def main():
                 owner, act, (kh, kl, pay), (sent, sent, sent),
                 n_shards, cap_rec,
             )
-            r_khi = part_dbg._xchg(blocks[0]).reshape(-1)
-            r_klo = part_dbg._xchg(blocks[1]).reshape(-1)
-            r_pay = part_dbg._xchg(blocks[2]).reshape(-1)
+            r_khi = part_dbg._xchg(blocks[0], n_shards).reshape(-1)
+            r_klo = part_dbg._xchg(blocks[1], n_shards).reshape(-1)
+            r_pay = part_dbg._xchg(blocks[2], n_shards).reshape(-1)
             edge, state_s, target = part_dbg._pair_edges(r_khi, r_klo, r_pay)
             s = (jnp.sum(edge.astype(jnp.int64))
                  + jnp.sum(jnp.abs(state_s).astype(jnp.int64))
