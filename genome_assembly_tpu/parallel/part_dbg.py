@@ -104,17 +104,23 @@ def _pack_by_owner(owner, active, payloads, fills, n_shards, cap):
     q = owner.shape[0]
     idx = jnp.arange(q, dtype=jnp.int32)
     key = jnp.where(active, owner.astype(jnp.uint32), jnp.uint32(n_shards))
-    sorted_ops = lax.sort((key, idx) + tuple(payloads), num_keys=1, is_stable=True)
+    # 2-key UNSTABLE sort == the stable single-key sort (idx breaks every
+    # tie), in the exact operand shape the chip-proven in-core joins use.
+    # The round-5 on-chip bisect showed the relay's AOT compile of this
+    # function's earlier forms (single-key is_stable sort + q-query
+    # searchsorted + 2D scatter; then + associative_scan) never returns
+    # (helper SIGKILLed ~22 min, runs/bisect_r5a.err) while boundary
+    # records and the in-core join compile in seconds -- so the pack
+    # sticks to primitives with on-chip precedent: multi-key unstable
+    # sort, tiny searchsorted, gathers.
+    sorted_ops = lax.sort((key, idx) + tuple(payloads), num_keys=2)
     key_s, idx_s = sorted_ops[0], sorted_ops[1]
     pay_s = sorted_ops[2:]
-    # run start via cummax over group-start positions -- NOT
-    # searchsorted(key_s, key_s): the q-query binary search is log2(q)
-    # gather rounds over the whole array (~27 x 140M elem/s at mid
-    # scale), and it plus the 2D capacity scatter below were the only
-    # primitives of this program family never proven on chip when the
-    # 64M-state links join kernel-faulted (runs/mid_part_r4k.jsonl).
-    gs = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
-    first = lax.associative_scan(jnp.maximum, jnp.where(gs, idx, -1))
+    # run start of each record's owner: gather from the (n_shards+1)-entry
+    # starts table -- no big scan, no q-query binary search
+    shard_ids0 = jnp.arange(n_shards + 1, dtype=key_s.dtype)
+    starts0 = jnp.searchsorted(key_s, shard_ids0, side="left").astype(jnp.int32)
+    first = starts0[jnp.clip(key_s, 0, n_shards).astype(jnp.int32)]
     slot = idx - first
     in_range = key_s < n_shards
     ok = (slot < cap) & in_range
@@ -127,12 +133,10 @@ def _pack_by_owner(owner, active, payloads, fills, n_shards, cap):
     # (records are placed in identical slot order) with no scatter and
     # no [q, 2] index materialization -- flat/2D-iota shapes only (the
     # r4 tiling-padding lesson: keep per-record lanes flat).
-    shard_ids = jnp.arange(n_shards + 1, dtype=key_s.dtype)
-    starts = jnp.searchsorted(key_s, shard_ids, side="left").astype(jnp.int32)
     jj = lax.broadcasted_iota(jnp.int32, (n_shards, cap), 0)
     cc = lax.broadcasted_iota(jnp.int32, (n_shards, cap), 1)
-    src = starts[jj] + cc
-    val = src < starts[jj + 1]
+    src = starts0[jj] + cc
+    val = src < starts0[jj + 1]
     src = jnp.clip(src, 0, q - 1)
     blocks = []
     for p, fill in zip(pay_s, fills):
@@ -243,6 +247,16 @@ def _routed_gather(tables, parent, *, rows, n_shards, cap):
     indices, all in range.  Returns (list of gathered [q] arrays, overflow).
     """
     q = parent.shape[0]
+    if n_shards == 1:
+        # every request is structurally local: answer with one row
+        # gather, no routing machinery.  Besides being the honest
+        # degenerate form, this keeps the big cumsum/associative_scan
+        # out of the 1-device jump program -- the round-5 bisect showed
+        # a 32M-element associative_scan alone never returns from the
+        # relay's AOT compile (runs/bisect_r5a.jsonl scan@8M).
+        tstack = jnp.stack(tables, axis=1)
+        got = tstack[parent]
+        return [got[:, t] for t in range(len(tables))], jnp.int32(0)
     base = _axidx(n_shards) * rows
     idx = jnp.arange(q, dtype=jnp.int32)
     par_s, idx_s = lax.sort((parent, idx), num_keys=1, is_stable=True)
@@ -911,6 +925,11 @@ def _routed_gather_wide(tables, par_o, par_l, *, rows, n_shards, cap):
     par_l: [q] wide indices, all valid.  Returns ([q] arrays, overflow).
     """
     q = par_o.shape[0]
+    if n_shards == 1:
+        # all-local answer (owner lane is uniformly 0); see _routed_gather
+        tstack = jnp.stack(tables, axis=1)
+        got = tstack[par_l]
+        return [got[:, t] for t in range(len(tables))], jnp.int32(0)
     me = _axidx(n_shards)
     idx = jnp.arange(q, dtype=jnp.int32)
     o_s, l_s, idx_s = lax.sort((par_o, par_l, idx), num_keys=2, is_stable=True)

@@ -139,13 +139,16 @@ def _bucketize_records(
         return owner_s, payload, jnp.zeros((), jnp.int32)
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    # run-start via cummax over group-start positions -- searchsorted
-    # (owner_s, owner_s) is a log2(n) gather-round binary search over
-    # the whole record array (part_dbg._pack_by_owner has the story)
-    gso = jnp.concatenate([jnp.ones((1,), bool), owner_s[1:] != owner_s[:-1]])
-    first_of_owner = lax.associative_scan(
-        jnp.maximum, jnp.where(gso, idx, -1)
-    )
+    # run-start via the tiny per-owner starts table: owners are sorted
+    # and have small cardinality, so first-of-run is a gather from an
+    # (n_shards+1)-entry searchsorted -- no n-query binary search (a
+    # log2(n) gather-round cost) and no n-length associative_scan (the
+    # round-5 bisect showed a 32M-element scan never returns from the
+    # relay's AOT compile, runs/bisect_r5a.jsonl)
+    starts = jnp.searchsorted(
+        owner_s, jnp.arange(n_shards + 1, dtype=owner_s.dtype), side="left"
+    ).astype(jnp.int32)
+    first_of_owner = starts[jnp.clip(owner_s, 0, n_shards).astype(jnp.int32)]
     slot = idx - first_of_owner
     ok = (slot < cap) & (owner_s < n_shards)
     overflow = jnp.sum((slot >= cap) & (owner_s < n_shards), dtype=jnp.int32)

@@ -59,11 +59,13 @@ def _bucket_exchange(lanes, bucket, n_buckets, cap, axis_name, fills=None):
     bucket_s, lanes_s = order[0], order[1:]
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    # scan-form run-start (see part_dbg._pack_by_owner): no q-query search
-    gsb = jnp.concatenate(
-        [jnp.ones((1,), bool), bucket_s[1:] != bucket_s[:-1]]
-    )
-    first_of = lax.associative_scan(jnp.maximum, jnp.where(gsb, idx, -1))
+    # tiny per-bucket starts table (see shard_count._pack): buckets are
+    # sorted, small cardinality -- no n-query search, no n-length scan
+    starts = jnp.searchsorted(
+        bucket_s, jnp.arange(n_buckets + 1, dtype=bucket_s.dtype),
+        side="left",
+    ).astype(jnp.int32)
+    first_of = starts[jnp.clip(bucket_s, 0, n_buckets).astype(jnp.int32)]
     slot = idx - first_of
     real = bucket_s < n_buckets
     ok = (slot < cap) & real
