@@ -77,6 +77,37 @@ def _axidx(n_shards):
     return lax.axis_index(SHARD_AXIS).astype(jnp.int32)
 
 
+_SCAN_CHUNK = 1 << 22  # 4M: well under the ~32M AOT-compile cliff
+
+
+def _safe_scan(op, x, unit, reverse=False):
+    """Inclusive associative scan the relay AOT compiler can digest.
+
+    A monolithic ``lax.associative_scan`` over ~32M elements never
+    returns from the XLA:TPU AOT compile (helper SIGKILLed ~22 min --
+    the round-5 bisect's scan@8M micro, runs/bisect_r5a.jsonl), while
+    the chip-proven count scans are 12.8M.  Above _SCAN_CHUNK this
+    chunks the array and lax.scan's a carry across chunk-local scans:
+    one small compiled body, bit-identical results, ~same runtime (the
+    scan is HBM-bound either way)."""
+    n = x.shape[0]
+    if n <= _SCAN_CHUNK:
+        return lax.associative_scan(op, x, reverse=reverse)
+    if reverse:
+        return _safe_scan(op, x[::-1], unit)[::-1]
+    nc = -(-n // _SCAN_CHUNK)
+    pad = nc * _SCAN_CHUNK - n
+    xp = jnp.concatenate([x, jnp.full((pad,), unit, x.dtype)])
+    xs = xp.reshape(nc, _SCAN_CHUNK)
+
+    def body(carry, row):
+        s = lax.associative_scan(op, row)
+        return op(carry, s[-1]), op(carry, s)
+
+    _, outs = lax.scan(body, jnp.asarray(unit, x.dtype), xs)
+    return outs.reshape(-1)[:n]
+
+
 def _spmd(body, *, mesh, in_specs, out_specs):
     """jax.shard_map, except a 1-device mesh runs ``body`` directly.
 
@@ -271,15 +302,17 @@ def _routed_gather(tables, parent, *, rows, n_shards, cap):
     # slot = rank among routed (remote) group-heads within this owner's run
     act = gs & ~is_local
     acti = act.astype(jnp.int32)
-    c = jnp.cumsum(acti)
-    # actives-before-this-owner's-run, propagated from each run start by
-    # cummax (before = exclusive cumsum is non-decreasing, so the latest
-    # run start wins) -- replaces searchsorted(owner, owner), a log2(q)
-    # gather-round binary search re-run EVERY doubling round
-    gso = jnp.concatenate([jnp.ones((1,), bool), owner[1:] != owner[:-1]])
-    run_before = lax.associative_scan(
-        jnp.maximum, jnp.where(gso, c - acti, -1)
-    )
+    c = _safe_scan(jnp.add, acti, 0)
+    # actives-before-this-owner's-run = exclusive count at the run start,
+    # gathered through the tiny per-owner starts table (owner is sorted
+    # with cardinality n_shards) -- replaces both the old q-query
+    # searchsorted and the later cummax propagation
+    starts_own = jnp.searchsorted(
+        owner, jnp.arange(n_shards, dtype=owner.dtype), side="left"
+    ).astype(jnp.int32)
+    ce = c - acti
+    run_start = starts_own[jnp.clip(owner, 0, n_shards - 1)]
+    run_before = ce[jnp.clip(run_start, 0, q - 1)]
     slot = c - 1 - run_before
     ok = act & (slot < cap)
     overflow = jnp.sum(act & (slot >= cap)).astype(jnp.int32)
@@ -296,8 +329,8 @@ def _routed_gather(tables, parent, *, rows, n_shards, cap):
     got = jnp.where(recv[:, None] >= 0, tstack[loc], 0)  # [n_shards*cap, T]
     back = _xchg(got.reshape(n_shards, cap, -1), n_shards)
 
-    head_pos = lax.associative_scan(
-        jnp.maximum, jnp.where(gs, idx, -1)
+    head_pos = _safe_scan(
+        jnp.maximum, jnp.where(gs, idx, -1), -1
     )  # position of each entry's group head
     loc_q = jnp.clip(par_s - base, 0, rows - 1)
     at_heads = back[jnp.clip(o, 0, n_shards - 1), s]  # [q, T]
@@ -943,12 +976,14 @@ def _routed_gather_wide(tables, par_o, par_l, *, rows, n_shards, cap):
 
     act = gs & ~is_local
     acti = act.astype(jnp.int32)
-    c = jnp.cumsum(acti)
-    # scan-form run-start (see _routed_gather): no q-query searchsorted
-    gso = jnp.concatenate([jnp.ones((1,), bool), o_s[1:] != o_s[:-1]])
-    run_before = lax.associative_scan(
-        jnp.maximum, jnp.where(gso, c - acti, -1)
-    )
+    c = _safe_scan(jnp.add, acti, 0)
+    # tiny per-owner starts table, as in _routed_gather
+    starts_own = jnp.searchsorted(
+        o_s, jnp.arange(n_shards, dtype=o_s.dtype), side="left"
+    ).astype(jnp.int32)
+    ce = c - acti
+    run_start = starts_own[jnp.clip(o_s, 0, n_shards - 1)]
+    run_before = ce[jnp.clip(run_start, 0, q - 1)]
     slot = c - 1 - run_before
     ok = act & (slot < cap)
     overflow = jnp.sum(act & (slot >= cap)).astype(jnp.int32)
@@ -963,7 +998,7 @@ def _routed_gather_wide(tables, par_o, par_l, *, rows, n_shards, cap):
     got = jnp.where(recv[:, None] >= 0, tstack[loc], 0)
     back = _xchg(got.reshape(n_shards, cap, -1), n_shards)
 
-    head_pos = lax.associative_scan(jnp.maximum, jnp.where(gs, idx, -1))
+    head_pos = _safe_scan(jnp.maximum, jnp.where(gs, idx, -1), -1)
     loc_q = jnp.clip(l_s, 0, rows - 1)
     at_heads = back[jnp.clip(o, 0, n_shards - 1), s]
     at_heads = jnp.where(ok[:, None], at_heads, 0)

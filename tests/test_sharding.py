@@ -1121,3 +1121,33 @@ def test_pack_by_owner_matches_numpy_oracle():
         np.asarray(blocks[0])[o_np[placed], s_np[placed]],
         pay_a[idx_np[placed]],
     )
+
+
+def test_safe_scan_matches_monolithic_across_chunk_boundaries():
+    """_safe_scan (chunked lax.scan of local scans -- the AOT-compile-safe
+    form) must equal the monolithic scan for add/max/min, forward and
+    reverse, at sizes straddling the chunk boundary."""
+    import genome_assembly_tpu.parallel.part_dbg as pd
+
+    old = pd._SCAN_CHUNK
+    pd._SCAN_CHUNK = 1000
+    try:
+        rng = np.random.default_rng(3)
+        for n in (999, 1000, 1001, 4096, 10007):
+            x = jnp.asarray(rng.integers(-50, 50, size=n).astype(np.int32))
+            np.testing.assert_array_equal(
+                np.asarray(pd._safe_scan(jnp.add, x, 0)),
+                np.cumsum(np.asarray(x)),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(pd._safe_scan(jnp.maximum, x, -(2**31) + 1)),
+                np.maximum.accumulate(np.asarray(x)),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(
+                    pd._safe_scan(jnp.minimum, x, 2**31 - 1, reverse=True)
+                ),
+                np.minimum.accumulate(np.asarray(x)[::-1])[::-1],
+            )
+    finally:
+        pd._SCAN_CHUNK = old
