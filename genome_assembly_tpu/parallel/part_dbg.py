@@ -499,15 +499,15 @@ def _boundary_records(khi_l, klo_l, valid_l, *, k, rows, gid):
     keyed by the oriented suffix, IN rows by the oriented prefix, payload
     = (side << 31) | gid.  Shared by the flat and two-level joins."""
     rhi_l, rlo_l = encode.reverse_complement_packed(khi_l, klo_l, k)
-    # iota arithmetic, not repeat/tile: their [rows, 2]
-    # broadcasts tile-pad 2 -> 128 if materialized (the AOT
-    # OOM class of dbg._materialize_prep_sort)
-    sid2 = jnp.arange(2 * rows, dtype=jnp.int32)
-    node_l = sid2 >> 1
-    strand = sid2 & 1
-    ohi = jnp.where(strand == 0, khi_l[node_l], rhi_l[node_l])
-    olo = jnp.where(strand == 0, klo_l[node_l], rlo_l[node_l])
-    state_valid = valid_l[node_l]
+    # strand-major layout: [strand-0 states | strand-1].  Order is free
+    # (records are hash-routed and sorted), and this avoids both the
+    # repeat/tile [rows, 2] pad class and the khi[sid >> 1] generic
+    # gathers (5 scalar-core gathers that cost the in-core join ~11% --
+    # see dbg.build_unitig_links_join).  ``gid`` must arrive in the SAME
+    # strand-major order (both callers build it that way).
+    ohi = jnp.concatenate([khi_l, rhi_l])
+    olo = jnp.concatenate([klo_l, rlo_l])
+    state_valid = jnp.concatenate([valid_l, valid_l])
 
     n_lo = min(k, 16)
     n_hi = k - n_lo
@@ -583,13 +583,11 @@ def _links_join_body(
     above at scale (NOTES.md gather-vs-sort measurements).
     """
     base_node = _axidx(n_shards) * rows
-    # iota arithmetic, not repeat/tile: their [rows, 2]
-    # broadcasts tile-pad 2 -> 128 if materialized (the AOT
-    # OOM class of dbg._materialize_prep_sort)
-    sid2 = jnp.arange(2 * rows, dtype=jnp.int32)
-    node_l = sid2 >> 1
-    strand = sid2 & 1
-    gid = (2 * (base_node + node_l) + strand).astype(jnp.uint32)
+    # strand-major gid halves, matching _boundary_records' state layout
+    g0 = (2 * (base_node + jnp.arange(rows, dtype=jnp.int32))).astype(
+        jnp.uint32
+    )
+    gid = jnp.concatenate([g0, g0 + 1])
     key_hi, key_lo, payload, active = _boundary_records(
         khi_l, klo_l, valid_l, k=k, rows=rows, gid=gid
     )
@@ -836,13 +834,9 @@ def _links_join_body_wide(
     id (< 2*rows, always < 2**31), and the emitting shard -- the state's
     home by construction -- is recovered from the exchange block row.
     """
-    # iota arithmetic, not repeat/tile: their [rows, 2]
-    # broadcasts tile-pad 2 -> 128 if materialized (the AOT
-    # OOM class of dbg._materialize_prep_sort)
-    sid2 = jnp.arange(2 * rows, dtype=jnp.int32)
-    node_l = sid2 >> 1
-    strand = sid2 & 1
-    lid = (2 * node_l + strand).astype(jnp.uint32)
+    # strand-major lid halves, matching _boundary_records' state layout
+    l0 = (2 * jnp.arange(rows, dtype=jnp.int32)).astype(jnp.uint32)
+    lid = jnp.concatenate([l0, l0 + 1])
     key_hi, key_lo, payload, active = _boundary_records(
         khi_l, klo_l, valid_l, k=k, rows=rows, gid=lid
     )

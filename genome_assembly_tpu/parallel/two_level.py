@@ -262,9 +262,11 @@ def _links_join_body_2level(
     dd = _ici_index(ici_axis, ici_shape)
     g_me = ds * n_ici + dd
     base_node = g_me * rows
-    node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
-    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
-    gid = (2 * (base_node + node_l) + strand).astype(jnp.uint32)
+    # strand-major gid halves, matching _boundary_records' state layout
+    g0 = (2 * (base_node + jnp.arange(rows, dtype=jnp.int32))).astype(
+        jnp.uint32
+    )
+    gid = jnp.concatenate([g0, g0 + 1])
     key_hi, key_lo, payload, active = part_dbg._boundary_records(
         khi_l, klo_l, valid_l, k=k, rows=rows, gid=gid
     )
@@ -337,9 +339,9 @@ def _links_join_body_2level_wide(
     ds = lax.axis_index(SLICE_AXIS).astype(jnp.int32)
     dd = _ici_index(ici_axis, ici_shape)
     g_me = ds * n_ici + dd
-    node_l = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), 2)
-    strand = jnp.tile(jnp.arange(2, dtype=jnp.int32), rows)
-    lid = (2 * node_l + strand).astype(jnp.uint32)
+    # strand-major lid halves, matching _boundary_records' state layout
+    l0 = (2 * jnp.arange(rows, dtype=jnp.int32)).astype(jnp.uint32)
+    lid = jnp.concatenate([l0, l0 + 1])
     key_hi, key_lo, payload, active = part_dbg._boundary_records(
         khi_l, klo_l, valid_l, k=k, rows=rows, gid=lid
     )
