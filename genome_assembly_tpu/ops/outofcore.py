@@ -1045,7 +1045,7 @@ SUPER_MAX_GROUP = 128  # the gather-form extractor's group width is memory-
     jax.jit, static_argnames=("partitions", "group_size", "cap_bp")
 )
 def extract_partition_range_super(
-    mm, slen, b0, b1, b2, b3, group, *,
+    mm, slen, b0, b1, b2, b3, p_start, *,
     partitions: int, group_size: int, cap_bp: int
 ):
     """RANGE extraction of super-k-mer records, partitioned by MINIMIZER.
@@ -1058,6 +1058,10 @@ def extract_partition_range_super(
     a pure memory decision (row gathers are the cheap TPU gather form,
     NOTES.md gather economics).
 
+    p_start: FIRST partition id of the group (traced scalar; ragged
+    groups start anywhere).  pids past ``partitions`` never match any
+    record hash, so a tail group may be narrower than group_size.
+
     Returns ([G, cap_bp] x 6 lanes, overflows [G]).
     """
     G = group_size
@@ -1068,8 +1072,7 @@ def extract_partition_range_super(
     pos = jnp.arange(n, dtype=jnp.int32)
     comp_s, pos_s = lax.sort((comp, pos), num_keys=1)
     rows = jnp.stack([mm, slen, b0, b1, b2, b3], axis=1)  # [n, 6]
-    p0 = group.astype(jnp.uint32) * jnp.uint32(G)
-    pids = p0 + jnp.arange(G, dtype=jnp.uint32)
+    pids = p_start.astype(jnp.uint32) + jnp.arange(G, dtype=jnp.uint32)
     bounds = jnp.searchsorted(
         comp_s, _range_lower_bound(pids, partitions), side="left"
     ).astype(jnp.int32)
@@ -1304,17 +1307,77 @@ def partitioned_count_super(
     # is the honest cap.  Overflow stays exactly detected regardless.
     h0 = _fmix32((mm0 * _HASH_A) ^ (mm0 * _HASH_B))
     pid0 = ((h0 >> np.uint32(16)) * np.uint32(partitions)) >> np.uint32(16)
-    peak = int(np.bincount(pid0, minlength=partitions).max()) if n_rec0 else 1
+    loads = (
+        np.bincount(pid0, minlength=partitions)
+        if n_rec0
+        else np.ones(partitions, np.int64)
+    )
+    peak = max(int(loads.max()), 1)
     cap_bp = min(
         batch_slots,
         int(np.ceil(1.25 * peak + 8.0 * np.sqrt(max(peak, 1)))) + 64,
     )
     if slack is not None:
         cap_bp = min(batch_slots, int(np.ceil(peak * slack)) + 1)
-    if group_size is None:
-        staged = max(1, n_batches * cap_bp * 24)
-        group_size = int(max(1, min(SUPER_MAX_GROUP, group_budget_bytes // staged)))
-    G = min(group_size, partitions)
+    if group_size is None and slack is None:
+        # RAGGED groups: minimizer mass is heavy-tailed, so ONE hot
+        # partition's cap throttled every group under the uniform
+        # scheme (humanchr r5: global peak ~6.9k records/batch vs mean
+        # ~700 forced G=7 of 1,247 partitions -- a super pass banked
+        # LESS of the count than a plain pass).  Per-partition caps
+        # from the probe histogram let cold runs group wide while hot
+        # partitions isolate into narrow groups; caps and widths are
+        # bucketed to powers of two so the fused extraction program
+        # compiles for a handful of shapes, not one per group.
+        # Partition CONTENTS are grouping-independent (checkpoints
+        # stay valid across retunes, as for the plain scheme).
+        caps_p = np.minimum(
+            batch_slots,
+            np.ceil(1.25 * loads + 8.0 * np.sqrt(np.maximum(loads, 1)))
+            .astype(np.int64) + 64,
+        )
+        def pow2(v):
+            # quarter-pow2 buckets: {1, 1.25, 1.5, 1.75} x 2^e -- caps a
+            # group's staging waste at 25% (a straight pow2 bucket can
+            # double it, halving G) while keeping the distinct compiled
+            # extraction shapes to ~4 per octave
+            v = max(int(v), 1)
+            e = 1 << max(v.bit_length() - 3, 0)
+            return -(-v // e) * e
+        # the expand+count of each partition runs while the WHOLE group's
+        # staging is still device-resident: reserve its working set
+        # (expanded (hi, lo) buffer + its sort copy) from the staging
+        # budget -- the uniform humanchr window RESOURCE_EXHAUSTED at
+        # exactly this point (runs/humanchr_super_w0_r5.err: 8 GB staged
+        # + ~4 GB count temps on a 16 GB chip)
+        resv = 4 * expand_slots_budget * 8
+        stage_budget = max(group_budget_bytes - resv, group_budget_bytes // 8)
+        groups = []
+        lo = 0
+        while lo < partitions:
+            width = None
+            for Gb in (128, 64, 32, 16, 8, 4, 2, 1):
+                if Gb > SUPER_MAX_GROUP:
+                    continue
+                w = min(Gb, partitions - lo)
+                cap_g = pow2(caps_p[lo : lo + w].max())
+                if Gb == 1 or n_batches * 24 * cap_g * Gb <= stage_budget:
+                    width, shape_g, shape_cap = w, Gb, cap_g
+                    break
+            groups.append((lo, width, shape_g, min(shape_cap, batch_slots)))
+            lo += width
+        G = max(g[2] for g in groups)
+    else:
+        if group_size is None:
+            staged = max(1, n_batches * cap_bp * 24)
+            group_size = int(
+                max(1, min(SUPER_MAX_GROUP, group_budget_bytes // staged))
+            )
+        G = min(group_size, partitions)
+        groups = [
+            (g * G, min(G, partitions - g * G), G, cap_bp)
+            for g in range((partitions + G - 1) // G)
+        ]
 
     ckpt = None
     if checkpoint_dir is not None:
@@ -1366,13 +1429,16 @@ def partitioned_count_super(
     batch_overflows = 0
     scan_chunk = max(1, min(scan_chunk, n_batches))
     if scan_chunk > 1:
-        @functools.partial(jax.jit, static_argnames=("n_scan",))
-        def _fused_extract_super(b0, g, *, n_scan):
+        @functools.partial(
+            jax.jit, static_argnames=("n_scan", "shape_g", "shape_cap")
+        )
+        def _fused_extract_super(b0, p0, *, n_scan, shape_g, shape_cap):
             def body(carry, i):
                 lanes = batch_super(b0 + i)
                 out = extract_partition_range_super(
-                    *lanes, g,
-                    partitions=partitions, group_size=G, cap_bp=cap_bp,
+                    *lanes, p0,
+                    partitions=partitions, group_size=shape_g,
+                    cap_bp=shape_cap,
                 )
                 return carry, (out[:6], out[6].astype(jnp.int32))
 
@@ -1394,9 +1460,9 @@ def partitioned_count_super(
                 f"run has {partitions} partitions (auto-sized; check the "
                 "worker's range against the merge run's partition count)"
             )
-    n_groups = (partitions + G - 1) // G
-    for g in range(n_groups):
-        group_parts = [p for p in range(g * G, min((g + 1) * G, partitions))]
+    n_groups = len(groups)
+    for g, (glo, width, shape_g, cap_g) in enumerate(groups):
+        group_parts = [p for p in range(glo, glo + width)]
         if only_partitions is not None:
             group_parts = [p for p in group_parts if own_lo <= p < own_hi]
             if not group_parts:
@@ -1415,18 +1481,19 @@ def partitioned_count_super(
                 batch_overflows += bo
             continue
 
-        pieces = [[[] for _ in range(6)] for _ in range(G)]
-        ovf_dev = jnp.zeros((G,), jnp.int32)
+        pieces = [[[] for _ in range(6)] for _ in range(width)]
+        ovf_dev = jnp.zeros((shape_g,), jnp.int32)
         if scan_chunk > 1:
             b = 0
             while b < n_batches:
                 n_scan = min(scan_chunk, n_batches - b)
                 lanes_s, ovf = _fused_extract_super(
-                    np.int32(b), np.uint32(g), n_scan=n_scan
+                    np.int32(b), np.uint32(glo), n_scan=n_scan,
+                    shape_g=shape_g, shape_cap=cap_g,
                 )
-                for r in range(G):
+                for r in range(width):
                     for j in range(6):
-                        # lanes_s[j] is [n_scan, G, cap]
+                        # lanes_s[j] is [n_scan, shape_g, cap]
                         pieces[r][j].append(lanes_s[j][:, r].reshape(-1))
                 del lanes_s
                 ovf_dev = ovf_dev + ovf
@@ -1437,10 +1504,11 @@ def partitioned_count_super(
             for b in range(n_batches):
                 lanes = batch_super(b)
                 out = extract_partition_range_super(
-                    *lanes, jnp.uint32(g),
-                    partitions=partitions, group_size=G, cap_bp=cap_bp,
+                    *lanes, jnp.uint32(glo),
+                    partitions=partitions, group_size=shape_g,
+                    cap_bp=cap_g,
                 )
-                for r in range(G):
+                for r in range(width):
                     for j in range(6):
                         pieces[r][j].append(out[j][r])
                 ovf_dev = ovf_dev + out[6].astype(jnp.int32)
@@ -1475,8 +1543,8 @@ def partitioned_count_super(
                 tmp.rename(ckpt / f"part_{p}.npz")
 
         overflowed = []
-        for r in range(G):
-            p = g * G + r
+        for r in range(width):
+            p = glo + r
             if p >= partitions or p not in owned:
                 pieces[r] = None
                 continue
@@ -1505,7 +1573,7 @@ def partitioned_count_super(
         for p in overflowed:
             cat = _reextract_partition_super(
                 batch_super, n_batches, p,
-                partitions=partitions, cap0=cap_bp, batch_slots=batch_slots,
+                partitions=partitions, cap0=cap_g, batch_slots=batch_slots,
             )
             count_super_partition(p, cat, 0)
 

@@ -820,3 +820,69 @@ def test_partitioned_count_super_multihost_ranges(tmp_path):
     assert merged.n_distinct == full.n_distinct
     assert set(zip(np.asarray(merged.kmer_hi), np.asarray(merged.kmer_lo))) \
         == set(zip(np.asarray(full.kmer_hi), np.asarray(full.kmer_lo)))
+
+
+def test_partitioned_count_super_ragged_groups_match_direct():
+    """group_size=None engages the RAGGED group planner (per-partition
+    probe caps, pow2-bucketed widths/caps): hot minimizer partitions
+    isolate into narrow groups while cold runs group wide.  The counts
+    must equal the direct count exactly, and the fixture must actually
+    produce heterogeneous group shapes."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import count as count_ops
+    from genome_assembly_tpu.ops import minimizer, outofcore, superkmer
+
+    k, m, cutoff = 31, 7, 0
+    rng = np.random.default_rng(91)
+    batch, L, n_batches = 96, 128, 3
+    genome = rng.integers(0, 4, size=6000, dtype=np.uint8)
+    genome[500:1500] = 3  # hot poly-A minimizer: heavy partition skew
+    starts = rng.integers(0, len(genome) - L, size=(n_batches, batch))
+    lengths = jnp.full((batch,), L, dtype=jnp.int32)
+
+    def codes_of(b):
+        return jnp.asarray(np.stack([genome[s: s + L] for s in starts[b]]))
+
+    def batch_super(b):
+        return superkmer.super_records(codes_of(b), lengths, k=k, m=m)
+
+    # tiny budget so cold partitions NEED wide groups to finish in few
+    # passes while the hot partition's pow2 cap forces a narrow group
+    pc = outofcore.partitioned_count_super(
+        batch_super, n_batches, k=k, m=m, partitions=48, cutoff=cutoff,
+        kept_cap=1 << 16, expand_chunk=512,
+        group_budget_bytes=n_batches * 24 * 4096,
+    )
+    assert pc.batch_overflows == 0 and not pc.kept_overflow
+
+    his, los = [], []
+    for b in range(n_batches):
+        recs = minimizer.fast_scan(codes_of(b), lengths, k=k, m=m)
+        sent = jnp.uint32(0xFFFFFFFF)
+        his.append(jnp.where(recs.valid, recs.kmer_hi, sent).reshape(-1))
+        los.append(jnp.where(recs.valid, recs.kmer_lo, sent).reshape(-1))
+    hi = jnp.concatenate(his)
+    recs_all = minimizer.WindowRecords(
+        mmer=jnp.zeros((0,), jnp.uint32), kmer_hi=hi,
+        kmer_lo=jnp.concatenate(los), valid=hi != jnp.uint32(0xFFFFFFFF),
+    )
+    kc = count_ops.count_keys(recs_all, cutoff=cutoff)
+    assert (pc.n_distinct, pc.n_kept) == (
+        int(np.sum(np.asarray(kc.group_start & kc.valid))),
+        int(np.sum(np.asarray(kc.keep))),
+    )
+    khi, klo, valid = count_ops.kept_keys_sorted(kc)
+    want = {
+        (int(a), int(b2))
+        for a, b2, v in zip(np.asarray(khi), np.asarray(klo), np.asarray(valid))
+        if v
+    }
+    got = {
+        (int(a), int(b2))
+        for a, b2, v in zip(
+            np.asarray(pc.kmer_hi), np.asarray(pc.kmer_lo), np.asarray(pc.valid)
+        )
+        if v
+    }
+    assert got == want
