@@ -1352,6 +1352,16 @@ def partitioned_count_super(
         # + ~4 GB count temps on a 16 GB chip)
         resv = 4 * expand_slots_budget * 8
         stage_budget = max(group_budget_bytes - resv, group_budget_bytes // 8)
+        # Dispatch-level compaction (fused path only): a dispatch's
+        # [n_scan, G, cap] staging block is ~90% sentinels because cap
+        # is sized for the PEAK batch while typical batches carry the
+        # mean.  One batched 6-lane row sort per dispatch compacts each
+        # partition's slice to a mean-sized RETENTION cap, so the
+        # accumulated (device-resident) staging pays mean + margin, not
+        # peak -- the group width G scales up by the same ~5-8x factor.
+        # Retention overflow is per-partition detected and self-heals
+        # through the existing single-partition re-extraction.
+        sc = max(1, min(scan_chunk, n_batches))
         groups = []
         lo = 0
         while lo < partitions:
@@ -1361,10 +1371,24 @@ def partitioned_count_super(
                     continue
                 w = min(Gb, partitions - lo)
                 cap_g = pow2(caps_p[lo : lo + w].max())
-                if Gb == 1 or n_batches * 24 * cap_g * Gb <= stage_budget:
+                if sc > 1:
+                    ml = int(loads[lo : lo + w].max())
+                    retain_g = pow2(min(
+                        sc * cap_g,
+                        int(np.ceil(1.25 * sc * ml
+                                    + 8.0 * np.sqrt(max(sc * ml, 1)))) + 64,
+                    ))
+                    per_part = -(-n_batches // sc) * retain_g * 24
+                else:
+                    retain_g = None
+                    per_part = n_batches * cap_g * 24
+                if Gb == 1 or per_part * Gb <= stage_budget:
                     width, shape_g, shape_cap = w, Gb, cap_g
+                    shape_retain = retain_g
                     break
-            groups.append((lo, width, shape_g, min(shape_cap, batch_slots)))
+            groups.append(
+                (lo, width, shape_g, min(shape_cap, batch_slots), shape_retain)
+            )
             lo += width
         G = max(g[2] for g in groups)
     else:
@@ -1375,7 +1399,7 @@ def partitioned_count_super(
             )
         G = min(group_size, partitions)
         groups = [
-            (g * G, min(G, partitions - g * G), G, cap_bp)
+            (g * G, min(G, partitions - g * G), G, cap_bp, None)
             for g in range((partitions + G - 1) // G)
         ]
 
@@ -1430,9 +1454,11 @@ def partitioned_count_super(
     scan_chunk = max(1, min(scan_chunk, n_batches))
     if scan_chunk > 1:
         @functools.partial(
-            jax.jit, static_argnames=("n_scan", "shape_g", "shape_cap")
+            jax.jit,
+            static_argnames=("n_scan", "shape_g", "shape_cap", "retain"),
         )
-        def _fused_extract_super(b0, p0, *, n_scan, shape_g, shape_cap):
+        def _fused_extract_super(b0, p0, *, n_scan, shape_g, shape_cap,
+                                 retain):
             def body(carry, i):
                 lanes = batch_super(b0 + i)
                 out = extract_partition_range_super(
@@ -1445,7 +1471,26 @@ def partitioned_count_super(
             _, (lanes_s, ovfs) = lax.scan(
                 body, 0, jnp.arange(n_scan, dtype=jnp.int32)
             )
-            return lanes_s, jnp.sum(ovfs, axis=0)
+            ovfs = jnp.sum(ovfs, axis=0)
+            if retain is None or retain >= n_scan * shape_cap:
+                # keep the [n_scan, G, cap] layout (uniform mode, or a
+                # remainder chunk small enough that compaction is moot)
+                return lanes_s, ovfs
+            # dispatch-level compaction: [n_scan, G, cap] -> [G, retain].
+            # One BATCHED 6-lane row sort (the fast TPU sort form) pushes
+            # each partition's real records to the front of its slice;
+            # rows past ``retain`` overflow that partition (self-heals).
+            rows_g = tuple(
+                lanes_s[j].transpose(1, 0, 2).reshape(
+                    shape_g, n_scan * shape_cap
+                )
+                for j in range(6)
+            )
+            rows_s = lax.sort(rows_g, dimension=1, num_keys=1)
+            kept = tuple(r[:, :retain] for r in rows_s)
+            dropped = rows_s[0][:, retain:] != SENTINEL
+            ovfs = ovfs + jnp.sum(dropped, axis=1).astype(jnp.int32)
+            return kept, ovfs
 
     if only_partitions is not None:
         if ckpt is None:
@@ -1461,7 +1506,7 @@ def partitioned_count_super(
                 "worker's range against the merge run's partition count)"
             )
     n_groups = len(groups)
-    for g, (glo, width, shape_g, cap_g) in enumerate(groups):
+    for g, (glo, width, shape_g, cap_g, retain_g) in enumerate(groups):
         group_parts = [p for p in range(glo, glo + width)]
         if only_partitions is not None:
             group_parts = [p for p in group_parts if own_lo <= p < own_hi]
@@ -1489,12 +1534,14 @@ def partitioned_count_super(
                 n_scan = min(scan_chunk, n_batches - b)
                 lanes_s, ovf = _fused_extract_super(
                     np.int32(b), np.uint32(glo), n_scan=n_scan,
-                    shape_g=shape_g, shape_cap=cap_g,
+                    shape_g=shape_g, shape_cap=cap_g, retain=retain_g,
                 )
                 for r in range(width):
                     for j in range(6):
-                        # lanes_s[j] is [n_scan, shape_g, cap]
-                        pieces[r][j].append(lanes_s[j][:, r].reshape(-1))
+                        # [n_scan, G, cap] raw, or [G, retain] compacted
+                        sl = (lanes_s[j][:, r].reshape(-1)
+                              if lanes_s[j].ndim == 3 else lanes_s[j][r])
+                        pieces[r][j].append(sl)
                 del lanes_s
                 ovf_dev = ovf_dev + ovf
                 b += n_scan

@@ -841,20 +841,33 @@ def test_partitioned_count_super_ragged_groups_match_direct():
     starts = rng.integers(0, len(genome) - L, size=(n_batches, batch))
     lengths = jnp.full((batch,), L, dtype=jnp.int32)
 
+    codes_all = jnp.asarray(np.stack([
+        np.stack([genome[s: s + L] for s in starts[b]])
+        for b in range(n_batches)
+    ]))
+
     def codes_of(b):
-        return jnp.asarray(np.stack([genome[s: s + L] for s in starts[b]]))
+        # traceable (b may be a scan tracer under scan_chunk > 1)
+        return codes_all[b]
 
     def batch_super(b):
         return superkmer.super_records(codes_of(b), lengths, k=k, m=m)
 
     # tiny budget so cold partitions NEED wide groups to finish in few
-    # passes while the hot partition's pow2 cap forces a narrow group
-    pc = outofcore.partitioned_count_super(
-        batch_super, n_batches, k=k, m=m, partitions=48, cutoff=cutoff,
-        kept_cap=1 << 16, expand_chunk=512,
-        group_budget_bytes=n_batches * 24 * 4096,
-    )
-    assert pc.batch_overflows == 0 and not pc.kept_overflow
+    # passes while the hot partition's pow2 cap forces a narrow group.
+    # scan_chunk=3 additionally engages the dispatch-level compaction
+    # (retention cap < n_scan * cap), which must not change any result.
+    pcs = [
+        outofcore.partitioned_count_super(
+            batch_super, n_batches, k=k, m=m, partitions=48, cutoff=cutoff,
+            kept_cap=1 << 16, expand_chunk=512,
+            group_budget_bytes=n_batches * 24 * 4096, scan_chunk=sc,
+        )
+        for sc in (1, 3)
+    ]
+    for pc in pcs:
+        assert pc.batch_overflows == 0 and not pc.kept_overflow
+    pc = pcs[0]
 
     his, los = [], []
     for b in range(n_batches):
@@ -878,11 +891,13 @@ def test_partitioned_count_super_ragged_groups_match_direct():
         for a, b2, v in zip(np.asarray(khi), np.asarray(klo), np.asarray(valid))
         if v
     }
-    got = {
-        (int(a), int(b2))
-        for a, b2, v in zip(
-            np.asarray(pc.kmer_hi), np.asarray(pc.kmer_lo), np.asarray(pc.valid)
-        )
-        if v
-    }
-    assert got == want
+    for pc in pcs:
+        got = {
+            (int(a), int(b2))
+            for a, b2, v in zip(
+                np.asarray(pc.kmer_hi), np.asarray(pc.kmer_lo),
+                np.asarray(pc.valid),
+            )
+            if v
+        }
+        assert got == want
