@@ -1059,8 +1059,11 @@ def extract_partition_range_super(
     NOTES.md gather economics).
 
     p_start: FIRST partition id of the group (traced scalar; ragged
-    groups start anywhere).  pids past ``partitions`` never match any
-    record hash, so a tail group may be narrower than group_size.
+    groups start anywhere), or a [group_size] ARRAY of arbitrary
+    partition ids (similar-load packing -- each pid slices its own hash
+    interval, so nothing requires consecutive ids).  pids past
+    ``partitions`` never match any record hash, so tail padding and
+    narrow groups are inert.
 
     Returns ([G, cap_bp] x 6 lanes, overflows [G]).
     """
@@ -1072,7 +1075,11 @@ def extract_partition_range_super(
     pos = jnp.arange(n, dtype=jnp.int32)
     comp_s, pos_s = lax.sort((comp, pos), num_keys=1)
     rows = jnp.stack([mm, slen, b0, b1, b2, b3], axis=1)  # [n, 6]
-    pids = p_start.astype(jnp.uint32) + jnp.arange(G, dtype=jnp.uint32)
+    p_start = jnp.asarray(p_start)
+    if p_start.ndim:
+        pids = p_start.astype(jnp.uint32)
+    else:
+        pids = p_start.astype(jnp.uint32) + jnp.arange(G, dtype=jnp.uint32)
     bounds = jnp.searchsorted(
         comp_s, _range_lower_bound(pids, partitions), side="left"
     ).astype(jnp.int32)
@@ -1362,17 +1369,24 @@ def partitioned_count_super(
         # Retention overflow is per-partition detected and self-heals
         # through the existing single-partition re-extraction.
         sc = max(1, min(scan_chunk, n_batches))
+        # similar-load packing: partition ids are hash-ordered, so a
+        # consecutive group's cap is set by its (random) hottest member.
+        # Nothing in the range extraction needs consecutive ids (each
+        # pid slices its own hash interval), so groups are packed from
+        # the load-SORTED order -- near-uniform caps per group, ~4x
+        # fewer passes at humanchr scale than consecutive packing.
+        order = np.argsort(caps_p, kind="stable").astype(np.int64)
         groups = []
         lo = 0
         while lo < partitions:
-            width = None
             for Gb in (128, 64, 32, 16, 8, 4, 2, 1):
                 if Gb > SUPER_MAX_GROUP:
                     continue
                 w = min(Gb, partitions - lo)
-                cap_g = pow2(caps_p[lo : lo + w].max())
+                members = order[lo : lo + w]
+                cap_g = pow2(caps_p[members].max())
                 if sc > 1:
-                    ml = int(loads[lo : lo + w].max())
+                    ml = int(loads[members].max())
                     retain_g = pow2(min(
                         sc * cap_g,
                         int(np.ceil(1.25 * sc * ml
@@ -1386,8 +1400,10 @@ def partitioned_count_super(
                     width, shape_g, shape_cap = w, Gb, cap_g
                     shape_retain = retain_g
                     break
+            pid_list = np.sort(order[lo : lo + width]).astype(np.uint32)
             groups.append(
-                (lo, width, shape_g, min(shape_cap, batch_slots), shape_retain)
+                (pid_list, width, shape_g, min(shape_cap, batch_slots),
+                 shape_retain)
             )
             lo += width
         G = max(g[2] for g in groups)
@@ -1399,7 +1415,8 @@ def partitioned_count_super(
             )
         G = min(group_size, partitions)
         groups = [
-            (g * G, min(G, partitions - g * G), G, cap_bp, None)
+            (np.arange(g * G, min((g + 1) * G, partitions), dtype=np.uint32),
+             min(G, partitions - g * G), G, cap_bp, None)
             for g in range((partitions + G - 1) // G)
         ]
 
@@ -1506,8 +1523,11 @@ def partitioned_count_super(
                 "worker's range against the merge run's partition count)"
             )
     n_groups = len(groups)
-    for g, (glo, width, shape_g, cap_g, retain_g) in enumerate(groups):
-        group_parts = [p for p in range(glo, glo + width)]
+    for g, (pid_list, width, shape_g, cap_g, retain_g) in enumerate(groups):
+        group_parts = [int(p) for p in pid_list]
+        # inert padding: out-of-range pids match no record hash
+        pid_arg = np.full((shape_g,), partitions, np.uint32)
+        pid_arg[:width] = pid_list
         if only_partitions is not None:
             group_parts = [p for p in group_parts if own_lo <= p < own_hi]
             if not group_parts:
@@ -1533,7 +1553,7 @@ def partitioned_count_super(
             while b < n_batches:
                 n_scan = min(scan_chunk, n_batches - b)
                 lanes_s, ovf = _fused_extract_super(
-                    np.int32(b), np.uint32(glo), n_scan=n_scan,
+                    np.int32(b), pid_arg, n_scan=n_scan,
                     shape_g=shape_g, shape_cap=cap_g, retain=retain_g,
                 )
                 for r in range(width):
@@ -1551,7 +1571,7 @@ def partitioned_count_super(
             for b in range(n_batches):
                 lanes = batch_super(b)
                 out = extract_partition_range_super(
-                    *lanes, jnp.uint32(glo),
+                    *lanes, jnp.asarray(pid_arg),
                     partitions=partitions, group_size=shape_g,
                     cap_bp=cap_g,
                 )
@@ -1591,7 +1611,7 @@ def partitioned_count_super(
 
         overflowed = []
         for r in range(width):
-            p = glo + r
+            p = int(pid_list[r])
             if p >= partitions or p not in owned:
                 pieces[r] = None
                 continue
