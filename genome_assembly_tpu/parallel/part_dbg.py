@@ -104,7 +104,11 @@ def _safe_scan(op, x, unit, reverse=False):
         s = lax.associative_scan(op, row)
         return op(carry, s[-1]), op(carry, s)
 
-    _, outs = lax.scan(body, jnp.asarray(unit, x.dtype), xs)
+    # derive the initial carry from x so it carries x's varying-axis
+    # type under shard_map (a replicated literal fails lax.scan's carry
+    # type check inside a manual-sharding body)
+    carry0 = x[0] * 0 + jnp.asarray(unit, x.dtype)
+    _, outs = lax.scan(body, carry0, xs)
     return outs.reshape(-1)[:n]
 
 

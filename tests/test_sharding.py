@@ -1151,3 +1151,31 @@ def test_safe_scan_matches_monolithic_across_chunk_boundaries():
             )
     finally:
         pd._SCAN_CHUNK = old
+
+
+def test_partitioned_jump_with_forced_safe_scan_chunking(mesh8):
+    """The multi-shard routed gather's cumulative scans go through
+    _safe_scan; force the chunked path (tiny _SCAN_CHUNK) under
+    shard_map on the 8-device mesh and pin equality with the
+    single-device jump."""
+    import genome_assembly_tpu.parallel.part_dbg as pd
+    from genome_assembly_tpu.ops import dbg
+
+    n2 = 1 << 12
+    ids = np.arange(n2, dtype=np.int32)
+    nxt = np.where((ids + 1) % 37 == 0, -1, ids + 1)
+    nxt[-1] = -1
+    links = jnp.asarray(nxt)
+    old = pd._SCAN_CHUNK
+    pd._SCAN_CHUNK = 64  # far below per-shard q = 512: chunked path
+    try:
+        g_p, ovf = pd.partitioned_pointer_jump(links, mesh=mesh8, slack=4.0)
+    finally:
+        pd._SCAN_CHUNK = old
+    assert int(np.sum(np.asarray(ovf))) == 0
+    g_1 = dbg.pointer_jump(links)
+    np.testing.assert_array_equal(np.asarray(g_p.head), np.asarray(g_1.head))
+    np.testing.assert_array_equal(np.asarray(g_p.rank), np.asarray(g_1.rank))
+    np.testing.assert_array_equal(
+        np.asarray(g_p.is_cycle), np.asarray(g_1.is_cycle)
+    )
