@@ -1178,10 +1178,139 @@ def _count_super_partition(lanes, *, cutoff: int, k: int, m: int, chunk: int):
     while n_chunks < need:
         n_chunks *= 2
     n_chunks = min(n_chunks, n_chunks_all)
+    from genome_assembly_tpu.ops import superkmer as _sk
+
+    if n_chunks * chunk * _sk.S_CAP > SUB_COUNT_SLOTS:
+        # HOT partition: the S_CAP-strided expansion of all chunks at
+        # once would materialize records x 25 x 8 B (the ~13-26 GB
+        # RESOURCE_EXHAUSTED of the 3 Gbp hot minimizer partition,
+        # runs/humanchr_super_compact_w0_r5.err).  Count it per
+        # K-MER-HASH SUBRANGE instead: all windows of one k-mer share
+        # the k-mer, so subrange counts are exact and their kept sets
+        # disjoint -- the same argument that makes partitions mergeable.
+        return _count_super_partition_subranges(
+            tuple(lanes), cutoff=cutoff, k=k, m=m, chunk=chunk,
+            n_chunks=n_chunks,
+        )
     return _expand_count_super(
         tuple(lanes), cutoff=cutoff, k=k, m=m, chunk=chunk,
         n_chunks=n_chunks,
     )
+
+
+SUB_COUNT_SLOTS = 192 << 20  # expanded-window slots above which a
+# partition counts per key-hash subrange (hi+lo lanes + count-sort
+# copies of more than this exceed a 16 GB chip next to live staging)
+
+
+def _count_super_partition_subranges(
+    lanes, *, cutoff: int, k: int, m: int, chunk: int, n_chunks: int
+):
+    """Count ONE oversized partition in key-hash subranges.
+
+    For each subrange: every chunk expands (chunk x S_CAP slots,
+    transient), windows outside the subrange mask to SENTINEL, a 2-lane
+    sort compacts real windows to the front, and only a RETAIN-sized
+    prefix accumulates -- so peak memory is bounded by
+    ~SUB_COUNT_SLOTS regardless of the partition's true size.  A real
+    window past the retain prefix marks the subrange overflowed; the
+    whole partition then retries with doubled subranges (retain per
+    chunk halves+margins, so escalation terminates at
+    retain == chunk * S_CAP, which cannot overflow).
+
+    The subrange hash reuses the LINK constants (independent of the
+    minimizer-partition hash, common.py) over the window's canonical
+    key lanes.
+    """
+    from genome_assembly_tpu.common import (
+        LINK_HASH_A, LINK_HASH_B, fmix32 as _fmx,
+    )
+    from genome_assembly_tpu.ops import superkmer
+
+    eff_slots = n_chunks * chunk * superkmer.S_CAP
+    n_sub = max(2, -(-eff_slots // SUB_COUNT_SLOTS))
+
+    @functools.partial(
+        jax.jit, static_argnames=("n_sub", "sub", "retain")
+    )
+    def _sub_count(lanes, *, n_sub, sub, retain):
+        n = lanes[0].shape[0]
+        eff = n_chunks * chunk
+        if eff <= n:
+            lanes = tuple(x[:eff] for x in lanes)
+        else:
+            pad = eff - n
+            lanes = tuple(
+                jnp.concatenate([x, jnp.full((pad,), SENTINEL, jnp.uint32)])
+                for x in lanes
+            )
+        his, los = [], []
+        ovf = jnp.int32(0)
+        for c in range(n_chunks):
+            s0 = c * chunk
+            hi, lo = superkmer.expand_records(
+                *(x[s0 : s0 + chunk] for x in lanes), k=k, m=m
+            )
+            h = _fmx((hi * LINK_HASH_A) ^ (lo * LINK_HASH_B))
+            in_sub = (
+                ((h >> 16) * jnp.uint32(n_sub)) >> 16 == jnp.uint32(sub)
+            ) & (hi != SENTINEL)
+            hi = jnp.where(in_sub, hi, SENTINEL)
+            lo = jnp.where(in_sub, lo, SENTINEL)
+            hi, lo = lax.sort((hi, lo), num_keys=2)
+            ovf = ovf + jnp.sum(
+                (hi[retain:] != SENTINEL).astype(jnp.int32)
+            ) if retain < hi.shape[0] else ovf
+            his.append(hi[:retain])
+            los.append(lo[:retain])
+        hi_all = jnp.concatenate(his)
+        recs = WindowRecords(
+            mmer=jnp.zeros((0,), jnp.uint32),
+            kmer_hi=hi_all,
+            kmer_lo=jnp.concatenate(los),
+            valid=hi_all != SENTINEL,
+        )
+        kc = count_ops.count_keys(recs, cutoff=cutoff)
+        khi, klo, valid = count_ops.kept_keys_sorted(kc)
+        n_distinct = jnp.sum(kc.group_start & kc.valid)
+        n_kept = jnp.sum(kc.keep)
+        return khi, klo, n_distinct, n_kept, ovf
+
+    cs = chunk * superkmer.S_CAP
+    mult = 1.35
+    while True:
+        # windows/chunk/subrange concentrate tightly (key hash is
+        # uniform); margin = 1.35x + statistical floor, pow2q-bucketed
+        # so escalations reuse compiled shapes where possible.  On
+        # overflow the margin doubles; retain == cs cannot overflow (a
+        # chunk cannot expand past cs slots), so escalation terminates.
+        est = cs / n_sub
+        retain = min(cs, int(np.ceil(mult * est + 8 * np.sqrt(est) + 64)))
+        e = 1 << max(int(retain).bit_length() - 3, 0)
+        retain = min(cs, -(-retain // e) * e)
+        khi_parts, klo_parts = [], []
+        nd = nk = 0
+        overflowed = False
+        for sub in range(n_sub):
+            khi, klo, d, kcnt, ovf = _sub_count(
+                lanes, n_sub=n_sub, sub=sub, retain=retain
+            )
+            if int(ovf):
+                overflowed = True
+                break
+            kcnt_i = int(kcnt)
+            khi_parts.append(khi[:kcnt_i])
+            klo_parts.append(klo[:kcnt_i])
+            nd += int(d)
+            nk += kcnt_i
+        if not overflowed:
+            return (
+                jnp.concatenate(khi_parts),
+                jnp.concatenate(klo_parts),
+                jnp.int32(nd),
+                jnp.int32(nk),
+            )
+        mult *= 2.0
 
 
 def _reextract_partition_super(

@@ -901,3 +901,67 @@ def test_partitioned_count_super_ragged_groups_match_direct():
             if v
         }
         assert got == want
+
+
+def test_super_count_hot_partition_subrange_path(monkeypatch):
+    """A partition whose expanded windows exceed SUB_COUNT_SLOTS counts
+    per key-hash subrange (bounded memory instead of the S_CAP-strided
+    whole-partition expansion that RESOURCE_EXHAUSTED the 3 Gbp hot
+    minimizer partition).  Forced small threshold; results must equal
+    the direct count exactly, including the overflow-escalation path."""
+    import jax.numpy as jnp
+
+    from genome_assembly_tpu.ops import count as count_ops
+    from genome_assembly_tpu.ops import minimizer, outofcore, superkmer
+
+    k, m, cutoff = 31, 7, 0
+    rng = np.random.default_rng(97)
+    batch, L, n_batches = 64, 128, 2
+    codes = [
+        jnp.asarray(rng.integers(0, 4, size=(batch, L), dtype=np.uint8)),
+        # poly-A block: ONE minimizer partition holds most records
+        jnp.asarray(np.full((batch, L), 3, dtype=np.uint8)),
+    ]
+    lengths = jnp.full((batch,), L, dtype=jnp.int32)
+
+    def batch_super(b):
+        return superkmer.super_records(codes[b], lengths, k=k, m=m)
+
+    # force EVERY partition through the subrange path
+    monkeypatch.setattr(outofcore, "SUB_COUNT_SLOTS", 4096)
+    pc = outofcore.partitioned_count_super(
+        batch_super, n_batches, k=k, m=m, partitions=6, cutoff=cutoff,
+        kept_cap=1 << 16, group_size=3, expand_chunk=256,
+    )
+    assert pc.batch_overflows == 0 and not pc.kept_overflow
+
+    his, los = [], []
+    for b in range(n_batches):
+        recs = minimizer.fast_scan(codes[b], lengths, k=k, m=m)
+        sent = jnp.uint32(0xFFFFFFFF)
+        his.append(jnp.where(recs.valid, recs.kmer_hi, sent).reshape(-1))
+        los.append(jnp.where(recs.valid, recs.kmer_lo, sent).reshape(-1))
+    hi = jnp.concatenate(his)
+    recs_all = minimizer.WindowRecords(
+        mmer=jnp.zeros((0,), jnp.uint32), kmer_hi=hi,
+        kmer_lo=jnp.concatenate(los), valid=hi != jnp.uint32(0xFFFFFFFF),
+    )
+    kc = count_ops.count_keys(recs_all, cutoff=cutoff)
+    assert (pc.n_distinct, pc.n_kept) == (
+        int(np.sum(np.asarray(kc.group_start & kc.valid))),
+        int(np.sum(np.asarray(kc.keep))),
+    )
+    khi, klo, valid = count_ops.kept_keys_sorted(kc)
+    want = {
+        (int(a), int(b2))
+        for a, b2, v in zip(np.asarray(khi), np.asarray(klo), np.asarray(valid))
+        if v
+    }
+    got = {
+        (int(a), int(b2))
+        for a, b2, v in zip(
+            np.asarray(pc.kmer_hi), np.asarray(pc.kmer_lo), np.asarray(pc.valid)
+        )
+        if v
+    }
+    assert got == want
