@@ -31,6 +31,7 @@ occurrence, SURVEY.md section 6); no out-of-core path exists there.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, NamedTuple, Tuple
 
 import numpy as np
@@ -1198,9 +1199,14 @@ def _count_super_partition(lanes, *, cutoff: int, k: int, m: int, chunk: int):
     )
 
 
-SUB_COUNT_SLOTS = 192 << 20  # expanded-window slots above which a
-# partition counts per key-hash subrange (hi+lo lanes + count-sort
-# copies of more than this exceed a 16 GB chip next to live staging)
+SUB_COUNT_SLOTS = int(
+    os.environ.get("GA_SUB_COUNT_SLOTS", 192 << 20)
+)  # expanded-window slots above which a partition counts per key-hash
+# subrange (hi+lo lanes + count-sort copies of more than this exceed a
+# 16 GB chip next to live staging).  The env override exists so a chip
+# run can force SMALL partitions through the subrange path (the 3 Gbp
+# hot partitions only appear in the last packed groups, so proving the
+# path on silicon would otherwise cost a full humanchr sweep).
 
 
 def _count_super_partition_subranges(
